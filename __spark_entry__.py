@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (the
+correctness gate compares row counts, schemas and order-insensitive
+value hashes at sf0.01).
 """
 
 from __future__ import annotations
@@ -12,27 +12,97 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.mentions import extract_mentions
+from rdf_n3_spark.operators.triples import entity_triples, mention_triples
+from rdf_n3_spark.sources.transcripts import transcripts, transcripts_duckdb_cte
+
+_T = transcripts_duckdb_cte()
+
+# DuckDB mirror of extract_mentions (zipped-unnest = posexplode)
+_MENTIONS = f"""
+WITH {_T},
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS surface
+  FROM transcripts
+),
+mentions AS (
+  SELECT conv_id, turn_idx, CAST(pos AS INT) AS pos, surface, lower(surface) AS norm
+  FROM toks
+  WHERE regexp_matches(surface, '^(?i)(part|supp)_[a-z0-9]+$')
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → mentions → skolemized triples (sf0.001)."""
+    t = transcripts(spark, "/root/testdata/sf0.001")
+    m = extract_mentions(t)
+    return mention_triples(m).unionByName(entity_triples(m))
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_mentions(transcripts(spark, sf_dir))
+
+
+def _q_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mention_triples(extract_mentions(transcripts(spark, sf_dir)))
+
+
+def _q_entity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entity_triples(extract_mentions(transcripts(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_build": _q_transcripts,
+        "mention_extract": _q_mentions,
+        "triple_emit": _q_mention_triples,
+        "entity_agg": _q_entity_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_build": f"""
+            WITH {_T}
+            SELECT conv_id, turn_idx, role, text, tool,
+                   CAST(epoch(ts) AS BIGINT) AS ts_epoch
+            FROM transcripts
+        """,
+        "mention_extract": f"""
+            {_MENTIONS}
+            SELECT conv_id, turn_idx, pos, surface, norm FROM mentions
+        """,
+        "triple_emit": f"""
+            {_MENTIONS},
+            sk AS (
+              SELECT *, 'sk:' || substr(sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)
+                         || '|' || CAST(pos AS VARCHAR)), 1, 16) AS sk
+              FROM mentions
+            )
+            SELECT sk AS s, 'rdf:type' AS p, ':Mention' AS o FROM sk
+            UNION ALL SELECT sk, ':surface', surface FROM sk
+            UNION ALL SELECT sk, ':inConv', 'conv:' || conv_id FROM sk
+            UNION ALL SELECT sk, ':atTurn', CAST(turn_idx AS VARCHAR) FROM sk
+            UNION ALL SELECT sk, ':refersTo', 'ent:' || norm FROM sk
+        """,
+        "entity_agg": f"""
+            {_MENTIONS}
+            SELECT 'ent:' || norm AS s, ':mentionCount' AS p,
+                   CAST(count(*) AS VARCHAR) AS o
+            FROM mentions GROUP BY norm
+        """,
+    }

@@ -1,0 +1,40 @@
+"""Mention detection over transcript text.
+
+Spark-first: tokenize + posexplode + regex filter — all JVM-side Column
+expressions inside one whole-stage-codegen span; no Python in the hot
+path. At 10^12 turns this is a pure map stage (no shuffle): mention
+rows inherit the transcript partitioning by conv_id.
+
+The surface-form grammar for the synthetic corpus is
+``(part|supp)_<key>`` (case-insensitive, ``part_hub`` included); real
+deployments would swap MENTION_RE / the normalizer, nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTION_RE = "^(?i)(part|supp)_[a-z0-9]+$"
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """transcripts → (conv_id, turn_idx, pos, surface, norm).
+
+    ``pos`` is the 0-based token position (used by skolemization,
+    mirroring rdf-n3's per-document running bnode index,
+    reader.rb:752-757). ``norm`` is the normalized surface form used as
+    the exact-match canonicalization key.
+    """
+    toks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "surface"),
+    )
+    return toks.filter(F.col("surface").rlike(MENTION_RE)).select(
+        "conv_id",
+        "turn_idx",
+        "pos",
+        "surface",
+        F.lower(F.col("surface")).alias("norm"),
+    )

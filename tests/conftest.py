@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from rdf_n3_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rdf_n3_spark-tests", cores=8, shuffle_partitions=16)
+    yield s
+    s.stop()

@@ -1,0 +1,36 @@
+"""Run every queries() entry against its oracle_sql() at sf0.01 —
+the same check the driver performs for CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.parity import assert_match, duck_run
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    q = QUERIES[name]
+    sdf = q(spark, SF_ORACLE)
+    if name not in ORACLES:
+        assert sdf.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    ddf = duck_run(ORACLES[name], SF_ORACLE)
+    assert_match(sdf, ddf, name)
+
+
+def test_all_queries_have_oracles_or_are_flagged():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops are allowed to omit oracles; keep the list explicit
+    allowed_rows_only = set()
+    assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
