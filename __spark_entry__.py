@@ -14,15 +14,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
+from rdf_n3_spark.sources.n3_source import parse_documents
 from rdf_n3_spark.sources.transcripts import transcripts, transcripts_duckdb_cte
 
 _T = transcripts_duckdb_cte()
 
 # DuckDB mirror of extract_mentions (zipped-unnest = posexplode)
+# WITH RECURSIVE: harmless for non-recursive members, required by the
+# connected-components CTE in _CANON
 _MENTIONS = f"""
-WITH {_T},
+WITH RECURSIVE {_T},
 toks AS (
   SELECT conv_id, turn_idx,
          unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
@@ -36,6 +40,59 @@ mentions AS (
 )
 """
 
+# DuckDB mirror of operators/canon.py (minhash-LSH + recursive-CTE CC)
+_CANON = (
+    _MENTIONS
+    + """,
+surfaces AS (SELECT DISTINCT surface FROM mentions),
+shsets AS (
+  SELECT surface,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(lower(surface)) - 2, 1)),
+           i -> substr(lower(surface), i, 3))) AS sh
+  FROM surfaces
+),
+shing AS (SELECT surface, unnest(sh) AS s1 FROM shsets),
+sig AS (
+  SELECT surface,
+         min(md5('0|' || s1)) AS h0, min(md5('1|' || s1)) AS h1,
+         min(md5('2|' || s1)) AS h2, min(md5('3|' || s1)) AS h3,
+         min(md5('4|' || s1)) AS h4, min(md5('5|' || s1)) AS h5,
+         min(md5('6|' || s1)) AS h6, min(md5('7|' || s1)) AS h7
+  FROM shing GROUP BY surface
+),
+keyed AS (
+  SELECT surface, unnest([
+    '0|' || h0 || '|' || h1, '1|' || h2 || '|' || h3,
+    '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS band_key
+  FROM sig
+),
+small AS (
+  SELECT band_key FROM keyed GROUP BY band_key HAVING count(*) <= 32
+),
+kept AS (SELECT k.* FROM keyed k JOIN small USING (band_key)),
+cand AS (
+  SELECT DISTINCT l.surface AS a, r.surface AS b
+  FROM kept l JOIN kept r USING (band_key)
+  WHERE l.surface < r.surface
+),
+ver AS (
+  SELECT a, b FROM cand
+  JOIN shsets sa ON sa.surface = cand.a
+  JOIN shsets sb ON sb.surface = cand.b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.9
+),
+edges AS MATERIALIZED (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+reach AS (
+  SELECT a AS n, a AS m FROM edges
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+),
+comp AS (SELECT n AS node, min(m) AS comp FROM reach GROUP BY n)
+"""
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts → mentions → skolemized triples (sf0.001)."""
@@ -46,23 +103,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 
-def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_transcripts(spark, sf_dir):
     return transcripts(spark, sf_dir).select(
         "conv_id", "turn_idx", "role", "text", "tool",
         F.unix_timestamp("ts").alias("ts_epoch"),
     )
 
 
-def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_mentions(spark, sf_dir):
     return extract_mentions(transcripts(spark, sf_dir))
 
 
-def _q_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_mention_triples(spark, sf_dir):
     return mention_triples(extract_mentions(transcripts(spark, sf_dir)))
 
 
-def _q_entity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_entity_triples(spark, sf_dir):
     return entity_triples(extract_mentions(transcripts(spark, sf_dir)))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return verified_pairs(m.select("surface").distinct()).select("a", "b")
+
+
+def _q_canon(spark, sf_dir):
+    return canonical_map(extract_mentions(transcripts(spark, sf_dir)))
+
+
+def _q_parse_n3_snippets(spark, sf_dir):
+    """Real N3 parser (mapInPandas) over the inline snippets embedded in
+    turn 0 of each conversation."""
+    t = transcripts(spark, sf_dir).where(F.col("turn_idx") == 0)
+    docs = t.select(
+        F.col("conv_id").alias("doc_id"),
+        F.regexp_extract("text", r"(:\S+ :suppliedBy :\S+ \.)$", 1).alias("n3_text"),
+    )
+    q = parse_documents(docs)
+    return q.where(F.col("ok")).select("doc_id", "s", "p", "o")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -71,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_extract": _q_mentions,
         "triple_emit": _q_mention_triples,
         "entity_agg": _q_entity_triples,
+        "lsh_candidate_pairs": _q_lsh_pairs,
+        "entity_canon": _q_canon,
+        "n3_parse_udf": _q_parse_n3_snippets,
     }
 
 
@@ -104,5 +185,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ent:' || norm AS s, ':mentionCount' AS p,
                    CAST(count(*) AS VARCHAR) AS o
             FROM mentions GROUP BY norm
+        """,
+        "lsh_candidate_pairs": f"""
+            {_CANON}
+            SELECT a, b FROM ver
+        """,
+        "entity_canon": f"""
+            {_CANON}
+            SELECT s.surface, coalesce(c.comp, s.surface) AS canon
+            FROM surfaces s LEFT JOIN comp c ON c.node = s.surface
+        """,
+        "n3_parse_udf": """
+            WITH base AS (
+              SELECT 'conv_' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS conv_id,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn,
+                     CASE WHEN l_linenumber % 4 = 0 THEN upper(pt) ELSE pt END AS part_tok,
+                     'supp_' || CAST(l_suppkey AS VARCHAR) AS supp_tok
+              FROM (SELECT *, CASE WHEN l_orderkey % 5 = 0 THEN 'part_hub'
+                                   ELSE 'part_' || CAST(l_partkey AS VARCHAR) END AS pt
+                    FROM lineitem)
+            )
+            SELECT conv_id AS doc_id,
+                   '<' || lower(part_tok) || '>' AS s,
+                   '<suppliedBy>' AS p,
+                   '<' || supp_tok || '>' AS o
+            FROM base WHERE rn = 1
         """,
     }
