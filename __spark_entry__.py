@@ -14,11 +14,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rdf_n3_spark.functions.text import fingerprint, lang_id, quality_score, token_stats
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
+from rdf_n3_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_neardup_pairs,
+    simhash_buckets,
+)
 from rdf_n3_spark.operators.mentions import extract_mentions
+from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
 from rdf_n3_spark.sources.n3_source import parse_documents
 from rdf_n3_spark.sources.transcripts import transcripts, transcripts_duckdb_cte
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 _T = transcripts_duckdb_cte()
 
@@ -94,6 +110,99 @@ comp AS (SELECT n AS node, min(m) AS comp FROM reach GROUP BY n)
 )
 
 
+# ---- DuckDB fragments for the training-data operators ----------------
+
+_TOKSTATS = """
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           / len(toks) AS avg_token_len,
+         CAST(len(list_filter(toks, x -> x IN
+           ('the','a','of','to','and','in','is','on','for','with'))) AS BIGINT)
+           / len(toks) AS stopword_ratio
+  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+)
+"""
+
+# word-3-gram minhash-LSH over documents (mirror of dedup.minhash_neardup_pairs)
+_DOC_SHINGLES = """
+WITH shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+),
+shing AS (SELECT doc_id, unnest(sh) AS s1 FROM shs),
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || s1)) AS h0, min(md5('1|' || s1)) AS h1,
+         min(md5('2|' || s1)) AS h2, min(md5('3|' || s1)) AS h3,
+         min(md5('4|' || s1)) AS h4, min(md5('5|' || s1)) AS h5,
+         min(md5('6|' || s1)) AS h6, min(md5('7|' || s1)) AS h7
+  FROM shing GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, unnest([
+    '0|' || h0 || '|' || h1, '1|' || h2 || '|' || h3,
+    '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS band_key
+  FROM sig
+),
+small AS (SELECT band_key FROM keyed GROUP BY band_key HAVING count(*) <= 32),
+kept AS (SELECT k.* FROM keyed k JOIN small USING (band_key)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM kept l JOIN kept r USING (band_key) WHERE l.doc_id < r.doc_id
+),
+ver AS (
+  SELECT a, b FROM cand
+  JOIN shs sa ON sa.doc_id = cand.a
+  JOIN shs sb ON sb.doc_id = cand.b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+)
+"""
+
+_SIMHASH_BITS = "".join(
+    f", sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(16)
+)
+_SIMHASH_SIG = " || ".join(
+    f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+)
+_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents
+),
+agg AS (SELECT doc_id{_SIMHASH_BITS} FROM tok GROUP BY doc_id),
+sims AS (SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM agg)
+"""
+
+# quantized embeddings + sign buckets (mirror of dedup.quantize / similarity)
+_QEMB = """
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+      || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+      || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+      || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+      || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
+      || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
+"""
+
+_COS_EXPR = (
+    "CAST(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(q.e, x -> x * x)) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform(t.e, x -> x * x)) AS DOUBLE)))"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts → mentions → skolemized triples (sf0.001)."""
     t = transcripts(spark, "/root/testdata/sf0.001")
@@ -152,6 +261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
         "n3_parse_udf": _q_parse_n3_snippets,
+        "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
+        "dedup_minhash": lambda s, d: minhash_neardup_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
+        "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
+        "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
+        "ann_ivf": lambda s, d: ivf_topk(_embs(s, d)),
+        "text_stats": lambda s, d: token_stats(_docs(s, d)),
+        "text_quality": lambda s, d: quality_score(_docs(s, d)),
+        "lang_id": lambda s, d: lang_id(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: fingerprint(_docs(s, d)),
     }
 
 
@@ -194,6 +313,88 @@ def oracle_sql() -> dict[str, str]:
             {_CANON}
             SELECT s.surface, coalesce(c.comp, s.surface) AS canon
             FROM surfaces s LEFT JOIN comp c ON c.node = s.surface
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS survivor,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": f"""
+            {_DOC_SHINGLES}
+            SELECT a, b FROM ver
+        """,
+        "dedup_simhash": f"""
+            {_SIMHASH}
+            SELECT simhash, count(*) AS n_docs, min(doc_id) AS survivor
+            FROM sims GROUP BY simhash
+        """,
+        "dedup_embedding": f"""
+            {_QEMB}
+            SELECT q.vec_id AS a, t.vec_id AS b
+            FROM qe q JOIN qe t ON q.vec_id < t.vec_id
+            WHERE q.vec_id < 50
+              AND {_COS_EXPR} >= 0.35
+        """,
+        "ann_topk": f"""
+            {_QEMB},
+            scored AS (
+              SELECT q.vec_id AS q, t.vec_id AS vec_id, {_COS_EXPR} AS cos
+              FROM qe q JOIN qe t ON q.vec_id <> t.vec_id
+              WHERE q.vec_id < 20
+            ),
+            ranked AS (
+              SELECT q, vec_id, cos,
+                     row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT q, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf": f"""
+            {_QEMB},
+            scored AS (
+              SELECT q.vec_id AS q, t.vec_id AS vec_id, {_COS_EXPR} AS cos
+              FROM qe q JOIN qe t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+              WHERE q.vec_id < 20
+            ),
+            ranked AS (
+              SELECT q, vec_id, cos,
+                     row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT q, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+        """,
+        "text_stats": f"""
+            {_TOKSTATS}
+            SELECT doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio FROM stats
+        """,
+        "text_quality": f"""
+            {_TOKSTATS}
+            SELECT doc_id,
+                   (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+                 + (CASE WHEN stopword_ratio BETWEEN 0.02 AND 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+                 AS quality
+            FROM stats
+        """,
+        "lang_id": f"""
+            {_TOKSTATS}
+            SELECT doc_id,
+                   CASE WHEN stopword_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+            FROM stats
+        """,
+        "doc_fingerprint": """
+            WITH sh AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), ' +', ' ', 'g') AS norm,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+                     )) AS shingles
+              FROM documents
+            )
+            SELECT doc_id, md5(norm) AS exact_fp,
+                   list_min(list_transform(shingles, x -> md5(x))) AS shingle_fp
+            FROM sh
         """,
         "n3_parse_udf": """
             WITH base AS (

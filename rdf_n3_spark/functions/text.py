@@ -1,0 +1,81 @@
+"""Text-analysis functions for the training-data pipeline: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd; no UDFs) and
+engine-portable for the DuckDB oracle. Doubles only come from
+single-shape expression trees (ratios of ints), so cross-engine float
+equality holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English stopword list for the n-gram/stopword language heuristic
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+
+def tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio)."""
+    t = tokens(F.col("text"))
+    n_tok = F.size(t)
+    stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return documents.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.aggregate(t, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+            / n_tok
+        ).alias("avg_token_len"),
+        (stop / n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Deterministic quality score in [0,1]: length sweet-spot +
+    stopword-ratio band + token-length sanity — the standard cheap
+    pre-filter shape for corpus curation."""
+    s = token_stats(documents)
+    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.3)
+    stop_ok = F.when(
+        (F.col("stopword_ratio") >= 0.02) & (F.col("stopword_ratio") <= 0.5), 1.0
+    ).otherwise(0.5)
+    tok_ok = F.when(
+        (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), 1.0
+    ).otherwise(0.5)
+    return s.select(
+        "doc_id",
+        ((len_ok * 0.4) + (stop_ok * 0.3) + (tok_ok * 0.3)).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-presence language heuristic: 'en' when the English
+    stopword ratio clears a threshold, else 'unk'. (The reference
+    pipeline treats language-ID as a per-row scalar stage; swapping a
+    real n-gram model in changes only this expression.)"""
+    s = token_stats(documents)
+    return s.select(
+        "doc_id",
+        F.when(F.col("stopword_ratio") > 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_guess"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
+    normalized text; shingle_fp = min md5 over word-3-gram shingles
+    (winnowing-style robust fingerprint, stable under local edits)."""
+    from rdf_n3_spark.operators.dedup import word_shingles
+
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(F.transform(word_shingles(F.col("text")), F.md5)).alias("shingle_fp"),
+    )

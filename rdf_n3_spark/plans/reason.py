@@ -530,6 +530,14 @@ class Reasoner:
                 lang = B.as_string(sv[1][1])
                 return self._bind_or_compare(ov, f'"{lex}"@{lang}', sol)
             return None
+        if name == "n3String":
+            if not _is_formula(sv):
+                return None
+            from rdf_n3_spark.functions.n3_writer import serialize_n3
+            triples = expand_lists(
+                [(s, p, o, "") for s, p, o, _ in sorted(self.graph(sv), key=repr)]
+            )
+            return self._bind_or_compare(ov, B.enc_string(serialize_n3(triples)), sol)
         if name == "outputString":
             if _ground(sv) and _ground(ov):
                 self.strings[str(sv)].append(B.as_string(ov))
