@@ -22,6 +22,7 @@ from rdf_n3_spark.operators.dedup import (
     minhash_neardup_pairs,
     simhash_buckets,
 )
+from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
@@ -55,6 +56,31 @@ mentions AS (
   WHERE regexp_matches(surface, '^(?i)(part|supp)_[a-z0-9]+$')
 )
 """
+
+# DuckDB mirror of the full triple set (mention triples ∪ entity agg),
+# the input to the graph-materialization node/edge projections
+_TRIPLES = (
+    _MENTIONS
+    + """,
+sk AS (
+  SELECT *, 'sk:' || substr(sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)
+             || '|' || CAST(pos AS VARCHAR)), 1, 16) AS sk
+  FROM mentions
+),
+triples AS (
+  SELECT sk AS s, 'rdf:type' AS p, ':Mention' AS o FROM sk
+  UNION ALL SELECT sk, ':surface', surface FROM sk
+  UNION ALL SELECT sk, ':inConv', 'conv:' || conv_id FROM sk
+  UNION ALL SELECT sk, ':atTurn', CAST(turn_idx AS VARCHAR) FROM sk
+  UNION ALL SELECT sk, ':refersTo', 'ent:' || norm FROM sk
+  UNION ALL SELECT 'ent:' || norm, ':mentionCount', CAST(count(*) AS VARCHAR)
+    FROM mentions GROUP BY norm
+)
+"""
+)
+
+# DuckDB mirror of operators/materialize.py bucket_expr
+_BUCKET = "(('0x' || substr(md5({col}), 1, 8))::BIGINT % 16)"
 
 # DuckDB mirror of operators/canon.py (minhash-LSH + recursive-CTE CC)
 _CANON = (
@@ -252,12 +278,27 @@ def _q_parse_n3_snippets(spark, sf_dir):
     return q.where(F.col("ok")).select("doc_id", "s", "p", "o")
 
 
+def _all_triples(spark, sf_dir):
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return mention_triples(m).unionByName(entity_triples(m))
+
+
+def _q_graph_nodes(spark, sf_dir):
+    return graph_nodes(_all_triples(spark, sf_dir))
+
+
+def _q_graph_edges(spark, sf_dir):
+    return graph_edges(_all_triples(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_build": _q_transcripts,
         "mention_extract": _q_mentions,
         "triple_emit": _q_mention_triples,
         "entity_agg": _q_entity_triples,
+        "graph_nodes": _q_graph_nodes,
+        "graph_edges": _q_graph_edges,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
         "n3_parse_udf": _q_parse_n3_snippets,
@@ -304,6 +345,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ent:' || norm AS s, ':mentionCount' AS p,
                    CAST(count(*) AS VARCHAR) AS o
             FROM mentions GROUP BY norm
+        """,
+        "graph_nodes": f"""
+            {_TRIPLES},
+            outd AS (SELECT s AS node_id, count(*) AS out_degree
+                     FROM triples GROUP BY s),
+            ind AS (SELECT o AS node_id, count(*) AS in_degree
+                    FROM triples WHERE regexp_matches(o, '^(ent|conv|sk):')
+                    GROUP BY o)
+            SELECT node_id,
+                   string_split(node_id, ':')[1] AS kind,
+                   CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+                   CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+                   CAST({_BUCKET.format(col="node_id")} AS INT) AS bucket
+            FROM outd FULL OUTER JOIN ind USING (node_id)
+        """,
+        "graph_edges": f"""
+            {_TRIPLES}
+            SELECT s, p, o, CAST({_BUCKET.format(col="s")} AS INT) AS bucket
+            FROM triples WHERE regexp_matches(o, '^(ent|conv|sk):')
         """,
         "lsh_candidate_pairs": f"""
             {_CANON}
