@@ -25,6 +25,7 @@ from rdf_n3_spark.operators.dedup import (
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
+from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
 from rdf_n3_spark.sources.n3_source import parse_documents
 from rdf_n3_spark.sources.transcripts import transcripts, transcripts_duckdb_cte
@@ -291,6 +292,49 @@ def _q_graph_edges(spark, sf_dir):
     return graph_edges(_all_triples(spark, sf_dir))
 
 
+_FREQ_RULE = Rule(
+    antecedent=(("?m", ":refersTo", "?e"), ("?e", ":mentionCount", "?c")),
+    consequent=(("?m", ":entityFreq", "?c"),),
+)
+
+_TRANS_RULE = Rule(
+    antecedent=(("?a", ":feeds", "?b"), ("?b", ":feeds", "?c")),
+    consequent=(("?a", ":feeds", "?c"),),
+)
+
+
+def _q_bgp_solutions(spark, sf_dir):
+    """Conjunctive 2-pattern BGP join on the shared entity variable."""
+    return bgp(_all_triples(spark, sf_dir), _FREQ_RULE.antecedent)
+
+
+def _q_rule_infer(spark, sf_dir):
+    """One forward log:implies application (antecedent join → consequent)."""
+    return apply_rule(_all_triples(spark, sf_dir), _FREQ_RULE)
+
+
+def _feeds_edges(spark, sf_dir):
+    """Sparse deterministic supplier-chain relation: ent:supp_k :feeds
+    ent:supp_2k when both entities occur in the mention stream."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    supp = (
+        m.where(F.col("norm").rlike("^supp_[0-9]+$"))
+        .select(F.substring("norm", 6, 18).cast("long").alias("k"))
+        .distinct()
+    )
+    a, b = supp.alias("a"), supp.alias("b")
+    ent = lambda c: F.concat(F.lit("ent:supp_"), c.cast("string"))
+    return a.join(b, F.col("b.k") == F.col("a.k") * 2).select(
+        ent(F.col("a.k")).alias("s"), F.lit(":feeds").alias("p"), ent(F.col("b.k")).alias("o")
+    )
+
+
+def _q_rule_closure(spark, sf_dir):
+    """Semi-naive fixpoint: transitive closure of :feeds (reasoner
+    think-loop re-planned as delta iteration)."""
+    return fixpoint(_feeds_edges(spark, sf_dir), [_TRANS_RULE]).select("s", "p", "o")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_build": _q_transcripts,
@@ -299,6 +343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_agg": _q_entity_triples,
         "graph_nodes": _q_graph_nodes,
         "graph_edges": _q_graph_edges,
+        "bgp_solutions": _q_bgp_solutions,
+        "rule_infer": _q_rule_infer,
+        "rule_closure": _q_rule_closure,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
         "n3_parse_udf": _q_parse_n3_snippets,
@@ -364,6 +411,38 @@ def oracle_sql() -> dict[str, str]:
             {_TRIPLES}
             SELECT s, p, o, CAST({_BUCKET.format(col="s")} AS INT) AS bucket
             FROM triples WHERE regexp_matches(o, '^(ent|conv|sk):')
+        """,
+        "bgp_solutions": f"""
+            {_TRIPLES}
+            SELECT DISTINCT r.s AS m, r.o AS e, c.o AS c
+            FROM triples r JOIN triples c ON c.s = r.o
+            WHERE r.p = ':refersTo' AND c.p = ':mentionCount'
+        """,
+        "rule_infer": f"""
+            {_TRIPLES}
+            SELECT DISTINCT r.s AS s, ':entityFreq' AS p, c.o AS o
+            FROM triples r JOIN triples c ON c.s = r.o
+            WHERE r.p = ':refersTo' AND c.p = ':mentionCount'
+        """,
+        "rule_closure": f"""
+            {_MENTIONS},
+            supps AS (
+              SELECT DISTINCT CAST(substr(norm, 6) AS BIGINT) AS k
+              FROM mentions WHERE regexp_matches(norm, '^supp_[0-9]+$')
+            ),
+            feeds AS (
+              SELECT a.k AS ka, b.k AS kb
+              FROM supps a JOIN supps b ON b.k = a.k * 2
+            ),
+            reach AS (
+              SELECT ka, kb FROM feeds
+              UNION
+              SELECT r.ka, f.kb FROM reach r JOIN feeds f ON f.ka = r.kb
+            )
+            SELECT 'ent:supp_' || CAST(ka AS VARCHAR) AS s,
+                   ':feeds' AS p,
+                   'ent:supp_' || CAST(kb AS VARCHAR) AS o
+            FROM reach
         """,
         "lsh_candidate_pairs": f"""
             {_CANON}

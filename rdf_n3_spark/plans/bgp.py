@@ -1,0 +1,167 @@
+"""Distributed BGP (basic graph pattern) matching and rule fixpoint as
+DataFrame join-project pipelines.
+
+This is the Spark-first re-expression of the reference's query core:
+
+* one triple pattern against the store — constants become filter
+  predicates, variables become projected columns
+  (reference lib/rdf/n3/repository.rb:187-242 ``query_pattern``);
+* a conjunction of patterns — cascade of equi-joins on shared
+  variable names, Catalyst picks broadcast vs sort-merge and AQE
+  splits skewed hub-entity keys
+  (reference lib/rdf/n3/algebra/formula.rb:125-147 BGP multiway join,
+  RDF::Query solution ``merge`` = natural join);
+* rule application (``log:implies``) — antecedent solutions projected
+  through the consequent templates, results flagged ``inferred``
+  (reference lib/rdf/n3/algebra/log/implies.rb:28-96);
+* fixpoint closure (``Reasoner#execute`` think-loop,
+  reference lib/rdf/n3/reasoner.rb:122-140) — but **semi-naive**
+  instead of the reference's naive re-derive-everything rounds: each
+  round joins only the delta against the full store (one delta-seat
+  per antecedent pattern), so round cost tracks NEW derivations, not
+  total store size. ``localCheckpoint`` per round keeps the plan flat
+  at any number of iterations.
+
+Terms are the engine's string encoding (IRIs/skolem ids/literals);
+variables are ``?name`` strings inside patterns only — at execution
+a variable is just a join/projection column name (SURVEY §1.1).
+
+Driver-side work here is *plan construction only* (tiny, rule-count
+bound); all data movement is DataFrame joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("s", "p", "o")
+
+
+def _is_var(t: str) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+@dataclass(frozen=True)
+class Rule:
+    """antecedent patterns => consequent templates (both triple lists)."""
+
+    antecedent: tuple
+    consequent: tuple
+
+
+def match_pattern(triples: DataFrame, pat) -> DataFrame:
+    """One triple pattern → solution DataFrame (one column per variable).
+
+    Constants filter (pushed to the scan by Catalyst — a parquet-backed
+    store prunes row groups on ``p``/``s``); repeated variables within
+    the pattern add same-row equality predicates.
+    """
+    df = triples
+    first_col: dict[str, str] = {}
+    for col, t in zip(_POS, pat):
+        if _is_var(t):
+            if t in first_col:
+                df = df.where(F.col(col) == F.col(first_col[t]))
+            else:
+                first_col[t] = col
+        else:
+            df = df.where(F.col(col) == F.lit(t))
+    return df.select(*[F.col(c).alias(v[1:]) for v, c in first_col.items()])
+
+
+def bgp(triples: DataFrame, patterns, sources=None) -> DataFrame:
+    """Conjunctive pattern join. ``sources`` optionally overrides the
+    store per pattern seat (used by the semi-naive delta rounds).
+
+    Shared variables → inner equi-join; disjoint patterns → cross join
+    (RDF::Query::Solutions#merge semantics). Solutions deduped — the
+    reference applies ``.compact.uniq`` after every operator
+    (resource_operator.rb:70).
+    """
+    sol = None
+    for i, pat in enumerate(patterns):
+        src = sources[i] if sources is not None else triples
+        m = match_pattern(src, pat)
+        if sol is None:
+            sol = m
+        else:
+            shared = [c for c in sol.columns if c in m.columns]
+            sol = sol.join(m, on=shared, how="inner") if shared else sol.crossJoin(m)
+    return sol.dropDuplicates()
+
+
+def _instantiate(sol: DataFrame, templates) -> DataFrame:
+    """Project solutions through consequent triple templates."""
+
+    def term(t):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    outs = [
+        sol.select(
+            term(s).cast("string").alias("s"),
+            term(p).cast("string").alias("p"),
+            term(o).cast("string").alias("o"),
+        )
+        for (s, p, o) in templates
+    ]
+    return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
+
+
+def apply_rule(triples: DataFrame, rule: Rule) -> DataFrame:
+    """One forward application: antecedent BGP → consequent triples.
+
+    Inner joins enforce the reference's full-binding requirement
+    (log/implies.rb:47-52: only solutions binding every antecedent
+    universal fire the rule).
+    """
+    return _instantiate(bgp(triples, rule.antecedent), rule.consequent)
+
+
+def _apply_rule_delta(total: DataFrame, delta: DataFrame, rule: Rule) -> DataFrame:
+    """Semi-naive round: every derivation must use ≥1 delta triple —
+    union over antecedent seats of (delta at seat i, total elsewhere)."""
+    pats = rule.antecedent
+    outs = []
+    for i in range(len(pats)):
+        sources = [delta if j == i else total for j in range(len(pats))]
+        outs.append(_instantiate(bgp(total, pats, sources=sources), rule.consequent))
+    return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
+
+
+def fixpoint(triples: DataFrame, rules, max_iter: int = 25) -> DataFrame:
+    """Closure under ``rules``; returns (s, p, o, inferred).
+
+    Semi-naive: round N only joins the round-(N-1) delta; terminates
+    when a round derives nothing new (the reference terminates when the
+    store count stops growing, reasoner.rb:123-140 — same condition,
+    but checked on the delta so no full recount). ``localCheckpoint``
+    per round truncates lineage; the anti-join dedup against the total
+    store implements set-insert semantics (repository.rb:297-307).
+    """
+    base = triples.select(*_POS).dropDuplicates().localCheckpoint()
+    total = base.withColumn("inferred", F.lit(False))
+    delta = base
+    for _ in range(max_iter):
+        derived = reduce(
+            lambda a, b: a.unionByName(b),
+            [_apply_rule_delta(total.select(*_POS), delta, r) for r in rules],
+        )
+        new = (
+            derived.join(total.select(*_POS), list(_POS), "left_anti")
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        total = total.unionByName(new.withColumn("inferred", F.lit(True))).localCheckpoint()
+        delta = new
+    return total
+
+
+def conclusions(closed: DataFrame) -> DataFrame:
+    """Inferred-only projection (reasoner.rb:226-233)."""
+    return closed.where(F.col("inferred")).select(*_POS)

@@ -1,0 +1,81 @@
+"""Distributed BGP matching + semi-naive rule fixpoint
+(reference formula.rb BGP join, log/implies.rb, reasoner.rb think-loop)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, conclusions, fixpoint, match_pattern
+
+T = [
+    ("m1", ":refersTo", "e1"),
+    ("m2", ":refersTo", "e1"),
+    ("m3", ":refersTo", "e2"),
+    ("e1", ":count", "2"),
+    ("e2", ":count", "1"),
+    ("x", ":loves", "x"),
+    ("y", ":loves", "z"),
+]
+
+
+@pytest.fixture
+def triples(spark):
+    return spark.createDataFrame(T, "s string, p string, o string")
+
+
+def test_match_pattern_constant_filter(triples):
+    rows = match_pattern(triples, ("?m", ":refersTo", "e1")).collect()
+    assert {r["m"] for r in rows} == {"m1", "m2"}
+
+
+def test_match_pattern_repeated_var(triples):
+    rows = match_pattern(triples, ("?a", ":loves", "?a")).collect()
+    assert [r["a"] for r in rows] == ["x"]
+
+
+def test_bgp_shared_var_join(triples):
+    sol = bgp(triples, [("?m", ":refersTo", "?e"), ("?e", ":count", "?c")])
+    got = {(r["m"], r["e"], r["c"]) for r in sol.collect()}
+    assert got == {("m1", "e1", "2"), ("m2", "e1", "2"), ("m3", "e2", "1")}
+
+
+def test_bgp_disjoint_cross_join(triples):
+    sol = bgp(triples, [("?a", ":loves", "?a"), ("?e", ":count", "?c")])
+    assert sol.count() == 2  # x × {e1, e2}
+
+
+def test_apply_rule(triples):
+    rule = Rule(
+        antecedent=(("?m", ":refersTo", "?e"), ("?e", ":count", "?c")),
+        consequent=(("?m", ":entFreq", "?c"),),
+    )
+    got = {tuple(r) for r in apply_rule(triples, rule).collect()}
+    assert got == {
+        ("m1", ":entFreq", "2"),
+        ("m2", ":entFreq", "2"),
+        ("m3", ":entFreq", "1"),
+    }
+
+
+def test_fixpoint_transitive_closure(spark):
+    chain = [(f"n{i}", ":next", f"n{i+1}") for i in range(6)]
+    df = spark.createDataFrame(chain, "s string, p string, o string")
+    trans = Rule(
+        antecedent=(("?a", ":next", "?b"), ("?b", ":next", "?c")),
+        consequent=(("?a", ":next", "?c"),),
+    )
+    closed = fixpoint(df, [trans])
+    pairs = {(r["s"], r["o"]) for r in closed.collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(6) for j in range(i + 1, 7)}
+    assert pairs == want
+    # inferred flag partitions base vs derived (reasoner conclusions)
+    inf = {(r["s"], r["o"]) for r in conclusions(closed).collect()}
+    assert inf == want - {(f"n{i}", f"n{i+1}") for i in range(6)}
+
+
+def test_fixpoint_no_rules_fire(spark):
+    df = spark.createDataFrame([("a", ":p", "b")], "s string, p string, o string")
+    r = Rule(antecedent=(("?x", ":q", "?y"),), consequent=(("?x", ":r", "?y"),))
+    closed = fixpoint(df, [r])
+    assert closed.count() == 1
+    assert conclusions(closed).count() == 0
