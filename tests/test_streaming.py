@@ -1,0 +1,89 @@
+"""Structured Streaming ingest: incremental drops produce the same
+graph as one batch run; resume never double-counts; watermarked
+windowed rollup works."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.materialize import read_graph
+from rdf_n3_spark.sources.transcripts import transcripts
+from rdf_n3_spark.streaming.ingest import (
+    batch_triples,
+    run_ingest,
+    windowed_mention_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def drops(spark, tmp_path_factory):
+    """The sf0.001 transcripts split into two parquet drop files."""
+    root = tmp_path_factory.mktemp("drops")
+    t = transcripts(spark, SF)
+    t.where(F.crc32("conv_id") % 2 == 0).coalesce(1).write.parquet(str(root / "d0"))
+    t.where(F.crc32("conv_id") % 2 == 1).coalesce(1).write.parquet(str(root / "d1"))
+    src = tmp_path_factory.mktemp("src")
+    import glob
+    import shutil
+
+    for i, d in enumerate(("d0", "d1")):
+        (f,) = glob.glob(str(root / d / "*.parquet"))
+        shutil.copy(f, str(src / f"drop{i}.parquet"))
+    return str(src)
+
+
+def test_stream_matches_batch(spark, drops, tmp_path):
+    graph_root = str(tmp_path / "graph")
+    run_ingest(spark, drops, graph_root, str(tmp_path / "ckpt"))
+
+    streamed = read_graph(spark, graph_root, "edges").select("s", "p", "o")
+    batch = batch_triples(transcripts(spark, SF))
+    want = batch.where(F.col("o").rlike("^(ent|conv|sk):")).select("s", "p", "o")
+    # skolem triples are batch-invariant → edge sets identical
+    assert streamed.exceptAll(want).count() == 0
+    assert want.exceptAll(streamed).count() == 0
+
+
+def test_stream_resume_is_idempotent(spark, drops, tmp_path):
+    graph_root = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    run_ingest(spark, drops, graph_root, ckpt)
+    n1 = read_graph(spark, graph_root, "edges").count()
+    # re-run with the same checkpoint: no new files → no new epochs;
+    # and even a replayed epoch id would hit the lineage skip
+    run_ingest(spark, drops, graph_root, ckpt)
+    assert read_graph(spark, graph_root, "edges").count() == n1
+
+
+def test_windowed_mention_counts_semantics(spark):
+    """Watermarked rollup (checked on a static frame — identical plan
+    shape, deterministic result)."""
+    t = transcripts(spark, SF)
+    rolled = windowed_mention_counts(t, window="30 days", watermark="365 days")
+    got = rolled.agg(F.sum("n_mentions")).collect()[0][0]
+    from rdf_n3_spark.operators.mentions import extract_mentions
+
+    assert got == extract_mentions(t).count()
+
+
+def test_windowed_is_streaming_capable(spark, drops):
+    """The rollup plan is accepted by the streaming engine (state +
+    watermark wiring is legal, not just batch-coincidental)."""
+    from rdf_n3_spark.streaming.ingest import stream_transcripts
+
+    sdf = windowed_mention_counts(stream_transcripts(spark, drops))
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("wmc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; table existing
+    # (possibly empty) proves the stateful plan executed
+    assert spark.table("wmc").columns == ["w", "norm", "n_mentions"]
