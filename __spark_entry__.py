@@ -14,7 +14,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
 from rdf_n3_spark.functions.text import fingerprint, lang_id, quality_score, token_stats
+from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
+from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
 from rdf_n3_spark.operators.dedup import (
     embedding_neardup_pairs,
@@ -24,6 +27,11 @@ from rdf_n3_spark.operators.dedup import (
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
 from rdf_n3_spark.operators.mentions import extract_mentions
+from rdf_n3_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_metadata,
+)
 from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
@@ -335,6 +343,200 @@ def _q_rule_closure(spark, sf_dir):
     return fixpoint(_feeds_edges(spark, sf_dir), [_TRANS_RULE]).select("s", "p", "o")
 
 
+def _q_builtin_math(spark, sf_dir):
+    """SURVEY §2.8 math vocabulary as Column expressions: pair/list
+    computes chained through the rank scheduler, comparison as filter."""
+    from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sol = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").cast("string").alias("a"),
+        # +1: the synthetic suppkey domain includes 0, and division-by-
+        # zero semantics aren't under test here
+        (F.col("l_suppkey") + 1).cast("string").alias("b"),
+        F.col("l_extendedprice").cast("string").alias("price"),
+    )
+    sol = apply_builtins(sol, [
+        ("?a", MATH + "greaterThan", "?b"),                      # test → filter
+        (("?a", "?b"), MATH + "sum", "?sum_ab"),                 # list compute
+        (("?a", "?b"), MATH + "difference", "?diff_ab"),         # pair compute
+        (("?a", "?b"), MATH + "product", "?prod_ab"),
+        (("?a", "?b"), MATH + "integerQuotient", "?iq_ab"),
+        (("?a", "?b"), MATH + "remainder", "?mod_ab"),
+        ("?diff_ab", MATH + "absoluteValue", "?abs_diff"),       # chained bind
+        ("?price", MATH + "floor", "?floor_p"),
+        ("?price", MATH + "ceiling", "?ceil_p"),
+        ("?price", MATH + "rounded", "?round_p"),
+    ])
+    return sol.select(
+        "l_orderkey", "l_linenumber", "sum_ab", "diff_ab", "prod_ab",
+        "iq_ab", "mod_ab", "abs_diff", "floor_p", "ceil_p", "round_p",
+    )
+
+
+def _q_builtin_string(spark, sf_dir):
+    """SURVEY §2.8 string vocabulary: concatenation / scrape / replace
+    computes + containsIgnoringCase filter, all JVM-side."""
+    from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.col("source").alias("src"), "lang")
+    sol = apply_builtins(d, [
+        ("?text", STR + "containsIgnoringCase", "ThE"),
+        (("?src", "/", "?lang"), STR + "concatenation", "?cat"),
+        (("?text", "^(\\w+)"), STR + "scrape", "?w1"),
+        (("?src", "src", "origin-"), STR + "replace", "?src2"),
+        (("?w1", "<http://www.w3.org/2001/XMLSchema#string>"), LOG + "dtlit", "?typed"),
+        (("?w1", "?lang"), LOG + "langlit", "?tagged"),
+    ])
+    return sol.select("doc_id", "cat", "w1", "src2", "typed", "tagged")
+
+
+def _q_builtin_time(spark, sf_dir):
+    """SURVEY §2.8 time vocabulary: component extraction is validity-
+    gated on the LEXICAL form (time/hour.rb:29-32), so operate on the
+    formatted string, not the timestamp."""
+    from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("lex"),
+        # half the rows get a numeric offset, half 'Z' — time:timeZone
+        # is valid only for the former (time/timezone.rb:17-33)
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("+02:00")).otherwise(F.lit("Z")),
+        ).alias("lexz"),
+    )
+    sol = apply_builtins(e, [
+        ("?lex", TIME + "year", "?y"),
+        ("?lex", TIME + "month", "?mo"),
+        ("?lex", TIME + "day", "?d"),
+        ("?lex", TIME + "hour", "?h"),
+        ("?lex", TIME + "minute", "?mi"),
+        ("?lex", TIME + "second", "?sec"),
+        ("?lex", TIME + "dayOfWeek", "?dow"),
+        ("?lex", TIME + "inSeconds", "?epoch"),
+        ("?lexz", TIME + "timeZone", "?tz"),
+    ])
+    return sol.select("event_id", "y", "mo", "d", "h", "mi", "sec", "dow", "epoch", "tz")
+
+
+def _q_builtin_list(spark, sf_dir):
+    """SURVEY §2.8 list vocabulary: length/first/last computes plus the
+    list:iterate (index, value) enumeration as posexplode."""
+    from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.slice(F.split(F.lower("text"), " "), 1, 4).alias("toks")
+    )
+    sol = apply_builtins(d, [
+        ("?toks", LIST + "length", "?len"),
+        ("?toks", LIST + "first", "?head"),
+        ("?toks", LIST + "last", "?tail"),
+        ("?toks", LIST + "iterate", "?tok"),
+    ])
+    return sol.select("doc_id", "len", "head", "tail", "tok_idx", "tok")
+
+
+_HUB_RULE = Rule(
+    antecedent=(("?e", ":mentionCount", "?c"),),
+    builtins=(("?c", MATH + "greaterThan", "5"),),
+    consequent=(("?e", ":isHub", "?c"),),
+)
+
+
+def _q_rule_builtin(spark, sf_dir):
+    """Rule with an in-antecedent builtin filter (formula.rb rank loop
+    as plan construction): mentionCount > 5 ⇒ :isHub."""
+    return apply_rule(_all_triples(spark, sf_dir), _HUB_RULE)
+
+
+def _mention_quads(spark, sf_dir):
+    """Per-conversation quad store: each conv is a graph (formula) —
+    the grouping the reference builds with graph_name (formula.rb:33-36)."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    g = F.concat(F.lit("conv:"), F.col("conv_id"))
+    refers = m.select(
+        F.concat(F.lit("m:"), "conv_id", F.lit("/"), F.col("turn_idx").cast("string"),
+                 F.lit("/"), F.col("pos").cast("string")).alias("s"),
+        F.lit(":refersTo").alias("p"),
+        F.concat(F.lit("ent:"), F.col("norm")).alias("o"),
+        g.alias("g"),
+    )
+    return refers
+
+
+def _q_graph_includes(spark, sf_dir):
+    """log:includes as an all-graphs semi-join: conversations whose
+    graph entails {?m :refersTo ent:part_hub}."""
+    quads = _mention_quads(spark, sf_dir)
+    return graph_includes(quads, [("?m", ":refersTo", "ent:part_hub")])
+
+
+def _q_graph_not_includes(spark, sf_dir):
+    """log:notIncludes as the complementary anti-join."""
+    quads = _mention_quads(spark, sf_dir)
+    return graph_not_includes(quads, [("?m", ":refersTo", "ent:part_hub")])
+
+
+def _q_output_strings(spark, sf_dir):
+    """log:outputString: per-conversation ordered concatenation."""
+    t = transcripts(spark, sf_dir)
+    return output_strings(t, key="conv_id", value="text", order="turn_idx")
+
+
+def _doc_lists(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("list:"), F.col("doc_id").cast("string")).alias("head"),
+        F.slice(F.split(F.lower("text"), " "), 1, 4).alias("items"),
+    )
+
+
+def _q_list_ladder(spark, sf_dir):
+    """Array column → rdf:first/rest ladder triples (list expansion as
+    a DataFrame transform, SURVEY §1.1 / list.rb:396)."""
+    return expand_list_column(_doc_lists(spark, sf_dir), "head", "items")
+
+
+def _q_list_contract(spark, sf_dir):
+    """Ladder → array roundtrip (each_expanded_statement inverse)."""
+    ladder = expand_list_column(_doc_lists(spark, sf_dir), "head", "items")
+    return contract_ladders(ladder).select(
+        "head", F.array_join("items", " ").alias("joined")
+    )
+
+
+def _media_df(spark, sf_dir):
+    """Deterministic stand-in media corpus: each document's utf-8 bytes
+    as an opaque binary payload (the container has no real media
+    files; the Spark-side plumbing is what's under test)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+
+def _q_media_metadata(spark, sf_dir):
+    """Decode-free multimodal metadata: size / MIME sniff / content hash."""
+    return media_metadata(_media_df(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    """Arrow-batched decode+feature stage (stub codec, real plumbing);
+    non-SQL-expressible → rows-only check."""
+    d = _media_df(spark, sf_dir).withColumn("mime", F.lit("text/plain"))
+    return extract_features(d)
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Deterministic frame-sampling plan (video modality shape)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") / 100.0).alias("duration_s")
+    )
+    return frame_sample_plan(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_build": _q_transcripts,
@@ -346,9 +548,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_solutions": _q_bgp_solutions,
         "rule_infer": _q_rule_infer,
         "rule_closure": _q_rule_closure,
+        "rule_builtin_infer": _q_rule_builtin,
+        "builtin_math": _q_builtin_math,
+        "builtin_string": _q_builtin_string,
+        "builtin_time": _q_builtin_time,
+        "builtin_list": _q_builtin_list,
+        "graph_includes": _q_graph_includes,
+        "graph_not_includes": _q_graph_not_includes,
+        "output_strings": _q_output_strings,
+        "list_ladder": _q_list_ladder,
+        "list_contract": _q_list_contract,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
         "n3_parse_udf": _q_parse_n3_snippets,
+        "media_metadata": _q_media_metadata,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_minhash": lambda s, d: minhash_neardup_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
@@ -444,6 +659,118 @@ def oracle_sql() -> dict[str, str]:
                    'ent:supp_' || CAST(kb AS VARCHAR) AS o
             FROM reach
         """,
+        "rule_builtin_infer": f"""
+            {_TRIPLES}
+            SELECT DISTINCT s, ':isHub' AS p, o
+            FROM triples
+            WHERE p = ':mentionCount' AND CAST(o AS DOUBLE) > 5
+        """,
+        "builtin_math": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_partkey + (l_suppkey + 1) AS DOUBLE) AS sum_ab,
+                   CAST(l_partkey - (l_suppkey + 1) AS DOUBLE) AS diff_ab,
+                   CAST(l_partkey * (l_suppkey + 1) AS DOUBLE) AS prod_ab,
+                   CAST(floor(CAST(l_partkey AS DOUBLE) / (l_suppkey + 1)) AS BIGINT) AS iq_ab,
+                   l_partkey % (l_suppkey + 1) AS mod_ab,
+                   CAST(abs(l_partkey - (l_suppkey + 1)) AS DOUBLE) AS abs_diff,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+                   CAST(ceiling(l_extendedprice) AS BIGINT) AS ceil_p,
+                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS round_p
+            FROM lineitem
+            WHERE l_partkey > l_suppkey + 1
+        """,
+        "builtin_string": """
+            SELECT doc_id,
+                   source || '/' || lang AS cat,
+                   regexp_extract(text, '^(\\w+)', 1) AS w1,
+                   replace(source, 'src', 'origin-') AS src2,
+                   '"' || regexp_extract(text, '^(\\w+)', 1)
+                       || '"^^<http://www.w3.org/2001/XMLSchema#string>' AS typed,
+                   '"' || regexp_extract(text, '^(\\w+)', 1) || '"@' || lang AS tagged
+            FROM documents
+            WHERE contains(lower(text), lower('ThE'))
+        """,
+        "builtin_time": """
+            SELECT event_id,
+                   CAST(date_part('year', ts) AS INT) AS y,
+                   CAST(date_part('month', ts) AS INT) AS mo,
+                   CAST(date_part('day', ts) AS INT) AS d,
+                   CAST(date_part('hour', ts) AS INT) AS h,
+                   CAST(date_part('minute', ts) AS INT) AS mi,
+                   CAST(floor(date_part('second', ts)) AS INT) AS sec,
+                   CAST(date_part('dow', ts) AS INT) AS dow,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+                   CASE WHEN event_id % 2 = 0 THEN '+02:00' ELSE NULL END AS tz
+            FROM events
+        """,
+        "builtin_list": """
+            WITH arrs AS (
+              SELECT doc_id, list_slice(string_split(lower(text), ' '), 1, 4) AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS len,
+                   toks[1] AS head,
+                   toks[len(toks)] AS tail,
+                   CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS tok_idx,
+                   unnest(toks) AS tok
+            FROM arrs
+        """,
+        "graph_includes": f"""
+            {_MENTIONS}
+            SELECT DISTINCT 'conv:' || conv_id AS g
+            FROM mentions WHERE norm = 'part_hub'
+        """,
+        "graph_not_includes": f"""
+            {_MENTIONS}
+            SELECT DISTINCT 'conv:' || conv_id AS g FROM mentions
+            EXCEPT
+            SELECT DISTINCT 'conv:' || conv_id AS g
+            FROM mentions WHERE norm = 'part_hub'
+        """,
+        "output_strings": f"""
+            WITH {_T}
+            SELECT conv_id,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS out
+            FROM transcripts GROUP BY conv_id
+        """,
+        "list_ladder": """
+            WITH arrs AS (
+              SELECT 'list:' || CAST(doc_id AS VARCHAR) AS head,
+                     list_slice(string_split(lower(text), ' '), 1, 4) AS items
+              FROM documents
+            ),
+            cells AS (
+              SELECT head,
+                     CAST(unnest(generate_series(1, len(items))) - 1 AS INT) AS pos,
+                     len(items) AS n,
+                     unnest(items) AS v
+              FROM arrs
+            ),
+            named AS (
+              SELECT *,
+                     CASE WHEN pos = 0 THEN head
+                          ELSE head || '_' || CAST(pos AS VARCHAR) END AS cell,
+                     CASE WHEN pos = n - 1
+                          THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>'
+                          ELSE head || '_' || CAST(pos + 1 AS VARCHAR) END AS nxt
+              FROM cells
+            )
+            SELECT cell AS s,
+                   '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>' AS p,
+                   v AS o
+            FROM named
+            UNION ALL
+            SELECT cell,
+                   '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>',
+                   nxt
+            FROM named
+        """,
+        "list_contract": """
+            SELECT 'list:' || CAST(doc_id AS VARCHAR) AS head,
+                   array_to_string(list_slice(string_split(lower(text), ' '), 1, 4), ' ') AS joined
+            FROM documents
+        """,
         "lsh_candidate_pairs": f"""
             {_CANON}
             SELECT a, b FROM ver
@@ -452,6 +779,20 @@ def oracle_sql() -> dict[str, str]:
             {_CANON}
             SELECT s.surface, coalesce(c.comp, s.surface) AS canon
             FROM surfaces s LEFT JOIN comp c ON c.node = s.surface
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   'application/octet-stream' AS mime,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id,
+                   n_chars / 100.0 AS duration_s,
+                   CAST(unnest(generate_series(0, 3)) AS INT) AS frame_idx,
+                   (n_chars / 100.0) * (unnest(generate_series(0, 3)) + 0.5) / 4 AS frame_ts
+            FROM documents
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS survivor,

@@ -1,0 +1,296 @@
+"""Distributed (Column-expression) N3 builtin vocabulary.
+
+The reference dispatches 75 builtin predicates by IRI and evaluates
+them row-at-a-time in Ruby (lib/rdf/n3/algebra.rb:118-206; skeletons
+ListOperator list_operator.rb:19-50 / ResourceOperator
+resource_operator.rb:19-71).  This module is the *distributed* half of
+that dispatch table: every operator that can be a JVM-side Column
+expression is one, so builtin evaluation over millions of solution
+rows stays inside whole-stage codegen — no Python in the hot path.
+(The driver-side term-faithful twins used during per-document rule
+evaluation live in rdf_n3_spark/functions/builtins.py.)
+
+Calling convention
+------------------
+``SQL_REGISTRY[iri] = (mode, fn)`` where ``fn`` takes *raw term
+Columns* (the engine's string term encoding — either a bare lexical
+form like ``"12"`` / ``part_4`` or an N3-quoted literal like
+``'"12"^^<...integer>'``; the codec below accepts both) and returns
+
+    mode "compute"       fn(subj)          -> value Column (bind/compare)
+    mode "compute_pair"  fn(a, b)          -> value Column (2-list ops)
+    mode "compute_list"  fn(arr)           -> value Column (whole-list ops)
+    mode "test"          fn(subj, obj)     -> Boolean Column (filter)
+    mode "enum"          fn(subj)          -> Array Column (posexplode bind)
+
+Computed values are *native* Spark types (long/double/string); the
+caller casts to string when the value lands in a triple ``o`` slot.
+:func:`apply_builtins` is the ResourceOperator execution skeleton as a
+plan transform: bind when the object is an unbound variable, filter
+when it is ground — scheduled greedily by unbound-input count exactly
+like the reference's rank loop (formula.rb:163-185, builtin.rb:15-19).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
+
+# ------------------------------------------------------------- term codec
+
+_QUOTED = r'^"'
+_LEX_RE = r'^"((?:[^"\\]|\\.)*)"'
+
+
+def lex(c: Column) -> Column:
+    """Lexical form of a term column: strips N3 literal quoting if
+    present, otherwise the raw string (bare-lexical encoding).
+    Accepts non-string inputs (e.g. a value bound by an earlier
+    builtin in the same chain) by casting first."""
+    c = c.cast("string")
+    return F.when(c.rlike(_QUOTED), F.regexp_extract(c, _LEX_RE, 1)).otherwise(c)
+
+
+def as_num(c: Column) -> Column:
+    """Permissive numeric coercion (extensions.rb:90-99): non-numeric
+    lexicals cast to NULL→0.0, mirroring the reference's `else 0`."""
+    return F.coalesce(lex(c).cast("double"), F.lit(0.0))
+
+
+def as_str(c: Column) -> Column:
+    return lex(c)
+
+
+# ------------------------------------------------------------- registry
+
+SQL_REGISTRY: dict[str, tuple] = {}
+
+
+def _reg(iri: str, mode: str, fn, raw_args: tuple = ()) -> None:
+    """``raw_args``: positions whose operand must be a ground constant
+    passed to ``fn`` as a raw Python string — used for regex patterns,
+    which Spark requires to be foldable for codegen (RegExpExtract)."""
+    SQL_REGISTRY[iri] = (mode, fn, raw_args)
+
+
+def _n(f):  # numeric wrapper: decode args, apply
+    return lambda *cols: f(*[as_num(c) for c in cols])
+
+
+def _s(f):  # string wrapper
+    return lambda *cols: f(*[as_str(c) for c in cols])
+
+
+# --- math (SURVEY §2.8 table 1; math/sum.rb etc.)
+_reg(MATH + "sum", "compute_list",
+     lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + as_num(x)))
+_reg(MATH + "product", "compute_list",
+     lambda arr: F.aggregate(arr, F.lit(1.0), lambda a, x: a * as_num(x)))
+_reg(MATH + "difference", "compute_pair", _n(lambda a, b: a - b))
+_reg(MATH + "quotient", "compute_pair", _n(lambda a, b: a / b))
+_reg(MATH + "remainder", "compute_pair",
+     _n(lambda a, b: (a.cast("long") % b.cast("long"))))
+_reg(MATH + "exponentiation", "compute_pair", _n(F.pow))
+_reg(MATH + "integerQuotient", "compute_pair",
+     _n(lambda a, b: F.floor(a / b).cast("long")))
+_reg(MATH + "negation", "compute", _n(lambda a: -a))
+_reg(MATH + "absoluteValue", "compute", _n(F.abs))
+# round-half-up like Ruby Float#round for positives (driver twin does
+# floor(x+0.5) too, so the two layers agree)
+_reg(MATH + "rounded", "compute", _n(lambda a: F.floor(a + 0.5)))
+_reg(MATH + "ceiling", "compute", _n(F.ceil))
+_reg(MATH + "floor", "compute", _n(F.floor))
+for _name in ("sin", "cos", "tan", "sinh", "cosh", "tanh",
+              "asin", "acos", "atan", "asinh", "acosh", "atanh"):
+    _reg(MATH + _name, "compute", _n(getattr(F, _name)))
+_reg(MATH + "equalTo", "test", _n(lambda a, b: a == b))
+_reg(MATH + "notEqualTo", "test", _n(lambda a, b: a != b))
+_reg(MATH + "greaterThan", "test", _n(lambda a, b: a > b))
+_reg(MATH + "lessThan", "test", _n(lambda a, b: a < b))
+_reg(MATH + "notGreaterThan", "test", _n(lambda a, b: a <= b))
+_reg(MATH + "notLessThan", "test", _n(lambda a, b: a >= b))
+_reg(MATH + "memberCount", "compute_list", F.size)
+
+# --- string (SURVEY §2.8 table 2; str/*.rb)
+_reg(STR + "concatenation", "compute_list",
+     lambda arr: F.array_join(F.transform(arr, as_str), ""))
+_reg(STR + "contains", "test", _s(lambda a, b: a.contains(b)))
+_reg(STR + "containsIgnoringCase", "test",
+     _s(lambda a, b: F.lower(a).contains(F.lower(b))))
+_reg(STR + "startsWith", "test", _s(F.startswith))
+_reg(STR + "endsWith", "test", _s(F.endswith))
+_reg(STR + "equalIgnoringCase", "test", _s(lambda a, b: F.lower(a) == F.lower(b)))
+_reg(STR + "notEqualIgnoringCase", "test", _s(lambda a, b: F.lower(a) != F.lower(b)))
+# Unicode code-order comparison: Spark string comparison is binary
+# (UTF8_BINARY collation) = code-point order, matching str/greater_than.rb
+_reg(STR + "greaterThan", "test", _s(lambda a, b: a > b))
+_reg(STR + "lessThan", "test", _s(lambda a, b: a < b))
+_reg(STR + "notGreaterThan", "test", _s(lambda a, b: a <= b))
+_reg(STR + "notLessThan", "test", _s(lambda a, b: a >= b))
+_reg(STR + "matches", "test",
+     lambda a, pat: as_str(a).rlike(pat), raw_args=(1,))
+_reg(STR + "notMatches", "test",
+     lambda a, pat: ~as_str(a).rlike(pat), raw_args=(1,))
+_reg(STR + "replace", "compute_list",
+     lambda arr: F.replace(as_str(F.element_at(arr, 1)),
+                           as_str(F.element_at(arr, 2)),
+                           as_str(F.element_at(arr, 3))))
+_reg(STR + "scrape", "compute_pair",
+     lambda a, pat: F.regexp_extract(as_str(a), pat, 1), raw_args=(1,))
+
+# --- time (SURVEY §2.8 table 3) — validity is a REGEX ON THE LEXICAL
+# FORM (time/hour.rb:29-32 etc.), so components extract from the string,
+# never from a parsed timestamp.
+
+def _time_component(group: int, need: str):
+    full = (r"^(\d{4,})(?:-(\d{2}))?(?:-(\d{2}))?"
+            r"(?:T(\d{2}):(\d{2})(?::(\d{2}))?)?")
+
+    def run(c: Column) -> Column:
+        lx = lex(c)
+        return F.when(lx.rlike(need),
+                      F.nullif(F.regexp_extract(lx, full, group), F.lit("")).cast("int"))
+
+    return run
+
+
+_reg(TIME + "year", "compute", _time_component(1, r"^\d{4}"))
+_reg(TIME + "month", "compute", _time_component(2, r"^\d{4,}-\d{2}"))
+_reg(TIME + "day", "compute", _time_component(3, r"^\d{4,}-\d{2}-\d{2}"))
+_reg(TIME + "hour", "compute", _time_component(4, r"^\d{4,}-\d{2}-\d{2}T\d{2}"))
+_reg(TIME + "minute", "compute", _time_component(5, r"^\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}"))
+_reg(TIME + "second", "compute",
+     _time_component(6, r"^\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"))
+# 0 = Sunday (time/day_of_week.rb:15-25); F.dayofweek is 1 = Sunday
+_reg(TIME + "dayOfWeek", "compute",
+     lambda c: F.dayofweek(F.to_timestamp(lex(c))) - 1)
+# trailing numeric offset; absent or "Z" → invalid (time/timezone.rb:17-33)
+_reg(TIME + "timeZone", "compute",
+     lambda c: F.nullif(F.regexp_extract(lex(c), r"([+-]\d{2}:\d{2})$", 1), F.lit("")))
+# session TZ is pinned UTC (session.py), so zoneless lexicals parse as UTC
+_reg(TIME + "inSeconds", "compute",
+     lambda c: F.unix_timestamp(F.to_timestamp(lex(c))))
+
+# --- list (SURVEY §2.8 table 4; list/*.rb)
+_reg(LIST + "first", "compute_list", lambda arr: F.element_at(arr, 1))
+_reg(LIST + "last", "compute_list", lambda arr: F.element_at(arr, -1))
+_reg(LIST + "length", "compute_list", F.size)
+_reg(LIST + "append", "compute_list", F.flatten)
+_reg(LIST + "member", "enum", lambda arr: arr)
+_reg(LIST + "in", "test", lambda x, arr: F.array_contains(arr, x))
+_reg(LIST + "iterate", "enum", lambda arr: arr)  # posexplode → (index, value)
+
+# --- log equality: same-TERM identity, not value equality
+# (log/equal_to.rb:30-32) — raw encoded-term comparison, no decode
+_reg(LOG + "equalTo", "test", lambda a, b: a.eqNullSafe(b))
+_reg(LOG + "notEqualTo", "test", lambda a, b: ~a.eqNullSafe(b))
+# (string dtype-IRI) → typed literal / (string lang) → lang-tagged
+# literal, as term-encoding construction (log/dtlit.rb, log/langlit.rb)
+_reg(LOG + "dtlit", "compute_pair",
+     lambda a, b: F.concat(F.lit('"'), as_str(a), F.lit('"^^<'),
+                           F.regexp_replace(as_str(b), r"^<|>$", ""), F.lit(">")))
+_reg(LOG + "langlit", "compute_pair",
+     lambda a, b: F.concat(F.lit('"'), as_str(a), F.lit('"@'), as_str(b)))
+
+
+# ------------------------------------------------------- execution skeleton
+
+def _is_var(t) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+def _resolve(sol: DataFrame, t):
+    """Term → Column: variable → its solution column (type preserved —
+    an array-bound variable stays an array, so list ops compose),
+    constant → string lit, tuple/list of terms → array of resolved
+    terms (Spark unifies the element type)."""
+    if isinstance(t, (tuple, list)):
+        return F.array(*[_resolve(sol, x) for x in t])
+    return F.col(t[1:]) if _is_var(t) else F.lit(str(t))
+
+
+def _inputs_ready(sol: DataFrame, t) -> bool:
+    if isinstance(t, (tuple, list)):
+        return all(_inputs_ready(sol, x) for x in t)
+    return (not _is_var(t)) or t[1:] in sol.columns
+
+
+def apply_builtins(sol: DataFrame, specs) -> DataFrame:
+    """Run builtin specs ``(subject, iri, object)`` over a solution
+    DataFrame — the ResourceOperator/ListOperator skeleton
+    (resource_operator.rb:19-71) as plan construction.
+
+    * object is an unbound ``?var`` → ``withColumn`` bind ("compute" modes)
+      or ``posexplode`` bind ("enum");
+    * object ground / already bound → compare-and-filter;
+    * "test" mode → boolean filter.
+
+    Scheduling is the reference's rank loop (formula.rb:163-185): each
+    pass runs every spec whose inputs are bound; specs waiting on a
+    variable another builtin will bind run in a later pass.  Purely
+    driver-side plan construction — the data never round-trips.
+    """
+    pending = list(specs)
+    while pending:
+        progressed = False
+        rest = []
+        for spec in pending:
+            subj, iri, obj = spec
+            mode, fn, raw_args = SQL_REGISTRY[iri]
+
+            def res(term, pos):
+                """Operand → Column, or raw Python string for foldable-
+                pattern positions (must be ground there)."""
+                if pos in raw_args:
+                    if _is_var(term):
+                        raise ValueError(f"{iri}: operand {pos} must be a constant pattern")
+                    return str(term)
+                return _resolve(sol, term)
+
+            if not _inputs_ready(sol, subj):
+                rest.append(spec)
+                continue
+            if mode == "test":
+                if not _inputs_ready(sol, obj):
+                    rest.append(spec)
+                    continue
+                sol = sol.where(fn(res(subj, 0), res(obj, 1)))
+            elif mode == "enum":
+                arr = fn(_resolve(sol, subj))
+                if _is_var(obj) and obj[1:] not in sol.columns:
+                    if iri == LIST + "iterate":
+                        # (index value) pair per element (list/iterate.rb)
+                        sol = sol.select(
+                            "*", F.posexplode(arr).alias(f"{obj[1:]}_idx", obj[1:])
+                        )
+                    else:
+                        sol = sol.select("*", F.explode(arr).alias(obj[1:]))
+                else:
+                    sol = sol.where(F.array_contains(arr, _resolve(sol, obj).cast("string")))
+            else:  # compute / compute_pair / compute_list
+                val = (fn(*[res(x, i) for i, x in enumerate(subj)])
+                       if mode == "compute_pair"
+                       else fn(_resolve(sol, subj)))
+                if _is_var(obj) and obj[1:] not in sol.columns:
+                    sol = sol.withColumn(obj[1:], val)
+                else:
+                    # compare-and-filter (resource_operator.rb:63-69):
+                    # numeric computes compare as numbers (so "-2" matches
+                    # -2.0), everything else on the lexical form
+                    probe = sol.withColumn("__v", val)
+                    numeric = probe.schema["__v"].dataType.typeName() in (
+                        "double", "float", "long", "integer", "short", "decimal"
+                    )
+                    o = _resolve(sol, obj)
+                    cond = (F.col("__v") == as_num(o)) if numeric else (
+                        F.col("__v").cast("string") == as_str(o)
+                    )
+                    sol = probe.where(cond).drop("__v")
+            progressed = True
+        if rest and not progressed:
+            unbound = [s[1] for s in rest]
+            raise ValueError(f"builtin inputs never bound: {unbound}")
+        pending = rest
+    return sol

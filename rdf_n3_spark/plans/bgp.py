@@ -47,10 +47,17 @@ def _is_var(t: str) -> bool:
 
 @dataclass(frozen=True)
 class Rule:
-    """antecedent patterns => consequent templates (both triple lists)."""
+    """antecedent patterns => consequent templates (both triple lists).
+
+    ``builtins`` — optional ``(subject, iri, object)`` builtin specs
+    evaluated over the antecedent solutions as Column expressions
+    (rdf_n3_spark.functions.sql_builtins), the distributed equivalent
+    of the reference's in-rule builtin operators (formula.rb:163-185).
+    """
 
     antecedent: tuple
     consequent: tuple
+    builtins: tuple = ()
 
 
 def match_pattern(triples: DataFrame, pat) -> DataFrame:
@@ -118,7 +125,16 @@ def apply_rule(triples: DataFrame, rule: Rule) -> DataFrame:
     (log/implies.rb:47-52: only solutions binding every antecedent
     universal fire the rule).
     """
-    return _instantiate(bgp(triples, rule.antecedent), rule.consequent)
+    return _instantiate(_solutions(triples, rule), rule.consequent)
+
+
+def _solutions(triples: DataFrame, rule: Rule, sources=None) -> DataFrame:
+    sol = bgp(triples, rule.antecedent, sources=sources)
+    if rule.builtins:
+        from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+        sol = apply_builtins(sol, rule.builtins)
+    return sol
 
 
 def _apply_rule_delta(total: DataFrame, delta: DataFrame, rule: Rule) -> DataFrame:
@@ -128,7 +144,7 @@ def _apply_rule_delta(total: DataFrame, delta: DataFrame, rule: Rule) -> DataFra
     outs = []
     for i in range(len(pats)):
         sources = [delta if j == i else total for j in range(len(pats))]
-        outs.append(_instantiate(bgp(total, pats, sources=sources), rule.consequent))
+        outs.append(_instantiate(_solutions(total, rule, sources=sources), rule.consequent))
     return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
 
 

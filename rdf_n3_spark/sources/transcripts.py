@@ -42,15 +42,29 @@ _TURN_ORDER = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extend
 TRANSCRIPT_SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 
 
-def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
     """lineitem parquet → transcripts DataFrame (input_hint shape).
 
     Scale shape: one narrow scan (7 of 11 columns pruned in), one
     window over the conversation key — exactly the per-conversation
     repartition the downstream pipeline needs anyway, so the shuffle is
     reused, not added.
+
+    ``mult`` (bench-only) replicates the corpus deterministically —
+    ``mult`` copies of every conversation under distinct conv ids, same
+    conversation-length distribution — so throughput runs can size the
+    input to the parallelism level without new data files.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if mult > 1:
+        # spread the (few-row-group) source scan across the cluster
+        # BEFORE replicating, so the inflation stage is parallel — the
+        # pre-shuffle moves only the small un-replicated rows
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        rep = spark.range(mult).select(F.col("id").alias("__rep"))
+        li = li.repartition(sp).crossJoin(rep).withColumn(
+            "l_orderkey", F.col("l_orderkey") * mult + F.col("__rep")
+        ).drop("__rep")
     w = Window.partitionBy("l_orderkey").orderBy(*_TURN_ORDER)
     part_tok = F.when(F.col("l_orderkey") % 5 == 0, F.lit("part_hub")).otherwise(
         F.concat(F.lit("part_"), F.col("l_partkey").cast("string"))

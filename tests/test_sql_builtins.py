@@ -1,0 +1,164 @@
+"""Unit tests for the distributed builtin registry (sql_builtins), the
+graph-level log: operators, and the list-ladder transforms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
+from rdf_n3_spark.functions.sql_builtins import SQL_REGISTRY, apply_builtins
+from rdf_n3_spark.operators.lists import NIL, contract_ladders, expand_list_column
+from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
+
+
+def test_registry_covers_survey_vocabularies():
+    """Every §2.8 operator family is present in the distributed table."""
+    iris = set(SQL_REGISTRY)
+    for needed in (
+        MATH + "sum", MATH + "difference", MATH + "product", MATH + "quotient",
+        MATH + "remainder", MATH + "exponentiation", MATH + "negation",
+        MATH + "absoluteValue", MATH + "rounded", MATH + "ceiling", MATH + "floor",
+        MATH + "sin", MATH + "acos", MATH + "tanh", MATH + "asinh",
+        MATH + "greaterThan", MATH + "notLessThan",
+        STR + "concatenation", STR + "contains", STR + "containsIgnoringCase",
+        STR + "startsWith", STR + "endsWith", STR + "equalIgnoringCase",
+        STR + "greaterThan", STR + "matches", STR + "notMatches",
+        STR + "replace", STR + "scrape",
+        TIME + "year", TIME + "month", TIME + "day", TIME + "hour",
+        TIME + "minute", TIME + "second", TIME + "dayOfWeek",
+        TIME + "timeZone", TIME + "inSeconds",
+        LIST + "first", LIST + "last", LIST + "length", LIST + "append",
+        LIST + "member", LIST + "in", LIST + "iterate",
+        LOG + "equalTo", LOG + "notEqualTo",
+    ):
+        assert needed in iris, needed
+
+
+def test_chained_bind_scheduling(spark):
+    """A builtin whose input is bound by a LATER-listed builtin still
+    runs (the reference's rank re-sort, formula.rb:163-185)."""
+    df = spark.createDataFrame([("4", "9")], ["a", "b"])
+    out = apply_builtins(df, [
+        ("?d", MATH + "absoluteValue", "?ad"),       # needs ?d — deferred
+        (("?a", "?b"), MATH + "difference", "?d"),   # binds ?d
+    ]).collect()[0]
+    assert out["d"] == -5.0 and out["ad"] == 5.0
+
+
+def test_unresolvable_raises(spark):
+    df = spark.createDataFrame([("1",)], ["a"])
+    with pytest.raises(ValueError, match="never bound"):
+        apply_builtins(df, [("?nope", MATH + "absoluteValue", "?x")])
+
+
+def test_compute_compare_filters(spark):
+    """Ground object → compare-and-filter (resource_operator.rb:63-69)."""
+    df = spark.createDataFrame([("2",), ("3",)], ["a"])
+    rows = apply_builtins(df, [("?a", MATH + "negation", "-2")]).collect()
+    assert [r["a"] for r in rows] == ["2"]
+
+
+def test_n3_quoted_literal_decoding(spark):
+    """The codec accepts N3-quoted literals as well as bare lexicals."""
+    df = spark.createDataFrame(
+        [('"12"^^<http://www.w3.org/2001/XMLSchema#integer>', "30")], ["a", "b"]
+    )
+    out = apply_builtins(df, [(("?a", "?b"), MATH + "sum", "?s")]).collect()[0]
+    assert out["s"] == 42.0
+
+
+def test_log_equal_is_term_identity(spark):
+    """log:equalTo compares encoded terms, not values: '"1"' ≠ '1'."""
+    df = spark.createDataFrame([('"1"', "1")], ["a", "b"])
+    assert apply_builtins(df, [("?a", LOG + "equalTo", "?b")]).count() == 0
+    assert apply_builtins(df, [("?a", MATH + "equalTo", "?b")]).count() == 1
+
+
+def test_list_member_and_in(spark):
+    df = spark.createDataFrame([(["x", "y"],)], ["arr"])
+    rows = apply_builtins(df, [("?arr", LIST + "member", "?m")]).collect()
+    assert {r["m"] for r in rows} == {"x", "y"}
+    assert apply_builtins(df, [("y", LIST + "in", "?arr")]).count() == 1
+    assert apply_builtins(df, [("z", LIST + "in", "?arr")]).count() == 0
+
+
+def test_scrape_requires_constant_pattern(spark):
+    df = spark.createDataFrame([("abc", "a")], ["t", "p"])
+    with pytest.raises(ValueError, match="constant pattern"):
+        apply_builtins(df, [(("?t", "?p"), STR + "scrape", "?x")])
+
+
+def test_time_validity_is_lexical(spark):
+    """'2024' has no day component even though a parsed date would
+    (time/day.rb:29-32 lexical regex)."""
+    df = spark.createDataFrame([("2024",), ("2024-03-07",)], ["t"])
+    rows = apply_builtins(df, [("?t", TIME + "day", "?d")]).collect()
+    by = {r["t"]: r["d"] for r in rows}
+    assert by["2024"] is None and by["2024-03-07"] == 7
+
+
+def test_dtlit_langlit(spark):
+    df = spark.createDataFrame([("chat", "en")], ["w", "l"])
+    out = apply_builtins(df, [
+        (("?w", "<http://www.w3.org/2001/XMLSchema#string>"), LOG + "dtlit", "?t"),
+        (("?w", "?l"), LOG + "langlit", "?g"),
+    ]).collect()[0]
+    assert out["t"] == '"chat"^^<http://www.w3.org/2001/XMLSchema#string>'
+    assert out["g"] == '"chat"@en'
+
+
+def test_graph_includes_and_not(spark):
+    quads = spark.createDataFrame(
+        [("a", "p", "1", "g1"), ("a", "q", "2", "g1"), ("b", "p", "1", "g2")],
+        ["s", "p", "o", "g"],
+    )
+    inc = graph_includes(quads, [("?x", "p", "1"), ("?x", "q", "?y")])
+    assert [r["g"] for r in inc.collect()] == ["g1"]
+    ninc = graph_not_includes(quads, [("?x", "p", "1"), ("?x", "q", "?y")])
+    assert [r["g"] for r in ninc.collect()] == ["g2"]
+
+
+def test_graph_includes_repeated_var(spark):
+    """A variable repeated inside one pattern forces same-row equality."""
+    quads = spark.createDataFrame(
+        [("a", "p", "a", "g1"), ("a", "p", "b", "g2")], ["s", "p", "o", "g"]
+    )
+    inc = graph_includes(quads, [("?x", "p", "?x")])
+    assert [r["g"] for r in inc.collect()] == ["g1"]
+
+
+def test_output_strings_ordering(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, "b"), ("c1", 0, "a"), ("c0", 0, "z")], ["k", "i", "v"]
+    )
+    rows = output_strings(df, "k", "v", "i").collect()
+    assert [(r["k"], r["out"]) for r in rows] == [("c0", "z"), ("c1", "a\nb")]
+
+
+def test_ladder_roundtrip(spark):
+    df = spark.createDataFrame([("h1", ["a", "b", "c"]), ("h2", ["x"])], ["head", "items"])
+    ladder = expand_list_column(df, "head", "items")
+    rows = {(r["s"], r["p"]): r["o"] for r in ladder.collect()}
+    # cell ids follow list.rb:396 determinism: head, head_1, head_2
+    assert rows[("h1", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>")] == "a"
+    assert rows[("h1_1", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>")] == "b"
+    assert rows[("h1_2", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>")] == NIL
+    assert rows[("h2", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>")] == NIL
+    back = {r["head"]: r["items"] for r in contract_ladders(ladder).collect()}
+    assert back == {"h1": ["a", "b", "c"], "h2": ["x"]}
+
+
+def test_rule_with_builtin_filter(spark):
+    from rdf_n3_spark.plans.bgp import Rule, apply_rule
+
+    triples = spark.createDataFrame(
+        [("e1", ":n", "3"), ("e2", ":n", "9")], ["s", "p", "o"]
+    )
+    rule = Rule(
+        antecedent=(("?e", ":n", "?c"),),
+        consequent=(("?e", ":big", "?c"),),
+        builtins=(("?c", MATH + "greaterThan", "5"),),
+    )
+    rows = apply_rule(triples, rule).collect()
+    assert [(r["s"], r["p"], r["o"]) for r in rows] == [("e2", ":big", "9")]
