@@ -33,8 +33,10 @@ from rdf_n3_spark.operators.multimodal import (
     media_metadata,
 )
 from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
-from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint
+from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
+from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
+from rdf_n3_spark.sources.n3_sink import serialize_graphs
 from rdf_n3_spark.sources.n3_source import parse_documents
 from rdf_n3_spark.sources.transcripts import transcripts, transcripts_duckdb_cte
 
@@ -508,6 +510,63 @@ def _q_list_contract(spark, sf_dir):
     )
 
 
+def _q_n3_string(spark, sf_dir):
+    """log:n3String: round-trip each conversation's parsed snippet back
+    through the distributed N3 writer sink (applyInPandas per graph)."""
+    t = transcripts(spark, sf_dir).where(F.col("turn_idx") == 0)
+    docs = t.select(
+        F.col("conv_id").alias("doc_id"),
+        F.regexp_extract("text", r"(:\S+ :suppliedBy :\S+ \.)$", 1).alias("n3_text"),
+    )
+    quads = parse_documents(docs).where(F.col("ok")).select("doc_id", "s", "p", "o", "g")
+    return serialize_graphs(quads)
+
+
+def _q_salted_count(spark, sf_dir):
+    """Explicit salted (two-phase) aggregation over the hub-skewed
+    entity key — north-rule skew contract in auditable form."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return salted_count(m, "norm", row_cols=["conv_id", "turn_idx", "pos"])
+
+
+def _q_salted_collect(spark, sf_dir):
+    """Salted collect_set (holistic aggregate, no map-side partial):
+    distinct case-variant surfaces per entity."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return salted_collect_set(
+        m, "norm", "surface", row_cols=["conv_id", "turn_idx", "pos"]
+    ).select("norm", F.array_join("values", " ").alias("surfaces"))
+
+
+def _conv_feeds_quads(spark, sf_dir):
+    """Per-conversation :feeds relation (g = the conversation graph):
+    supp_k feeds supp_2k when both occur in the SAME conversation."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    supp = (
+        m.where(F.col("norm").rlike("^supp_[0-9]+$"))
+        .select("conv_id", F.substring("norm", 6, 18).cast("long").alias("k"))
+        .distinct()
+    )
+    a, b = supp.alias("a"), supp.alias("b")
+    ent = lambda c: F.concat(F.lit("ent:supp_"), c.cast("string"))
+    return a.join(
+        b,
+        (F.col("b.conv_id") == F.col("a.conv_id")) & (F.col("b.k") == F.col("a.k") * 2),
+    ).select(
+        ent(F.col("a.k")).alias("s"),
+        F.lit(":feeds").alias("p"),
+        ent(F.col("b.k")).alias("o"),
+        F.concat(F.lit("conv:"), F.col("a.conv_id")).alias("g"),
+    )
+
+
+def _q_graph_closure(spark, sf_dir):
+    """log:conclusion at scale: transitive :feeds closure of EVERY
+    conversation graph in one semi-naive job (graph id as join key)."""
+    quads = _conv_feeds_quads(spark, sf_dir)
+    return fixpoint_per_graph(quads, [_TRANS_RULE]).select("s", "p", "o", "g")
+
+
 def _media_df(spark, sf_dir):
     """Deterministic stand-in media corpus: each document's utf-8 bytes
     as an opaque binary payload (the container has no real media
@@ -549,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_infer": _q_rule_infer,
         "rule_closure": _q_rule_closure,
         "rule_builtin_infer": _q_rule_builtin,
+        "graph_closure": _q_graph_closure,
+        "entity_agg_salted": _q_salted_count,
+        "entity_surfaces_salted": _q_salted_collect,
         "builtin_math": _q_builtin_math,
         "builtin_string": _q_builtin_string,
         "builtin_time": _q_builtin_time,
@@ -561,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
         "n3_parse_udf": _q_parse_n3_snippets,
+        "n3_write_udf": _q_n3_string,
         "media_metadata": _q_media_metadata,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -664,6 +727,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT s, ':isHub' AS p, o
             FROM triples
             WHERE p = ':mentionCount' AND CAST(o AS DOUBLE) > 5
+        """,
+        "entity_agg_salted": f"""
+            {_MENTIONS}
+            SELECT norm, count(*) AS n FROM mentions GROUP BY norm
+        """,
+        "entity_surfaces_salted": f"""
+            {_MENTIONS}
+            SELECT norm,
+                   array_to_string(list_sort(list_distinct(list(surface))), ' ') AS surfaces
+            FROM mentions GROUP BY norm
+        """,
+        "graph_closure": f"""
+            {_MENTIONS},
+            supps AS (
+              SELECT DISTINCT conv_id, CAST(substr(norm, 6) AS BIGINT) AS k
+              FROM mentions WHERE regexp_matches(norm, '^supp_[0-9]+$')
+            ),
+            feeds AS (
+              SELECT a.conv_id, a.k AS ka, b.k AS kb
+              FROM supps a JOIN supps b
+                ON b.conv_id = a.conv_id AND b.k = a.k * 2
+            ),
+            reach AS (
+              SELECT conv_id, ka, kb FROM feeds
+              UNION
+              SELECT r.conv_id, r.ka, f.kb
+              FROM reach r JOIN feeds f
+                ON f.conv_id = r.conv_id AND f.ka = r.kb
+            )
+            SELECT 'ent:supp_' || CAST(ka AS VARCHAR) AS s,
+                   ':feeds' AS p,
+                   'ent:supp_' || CAST(kb AS VARCHAR) AS o,
+                   'conv:' || conv_id AS g
+            FROM reach
         """,
         "builtin_math": """
             SELECT l_orderkey, l_linenumber,
@@ -770,6 +867,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'list:' || CAST(doc_id AS VARCHAR) AS head,
                    array_to_string(list_slice(string_split(lower(text), ' '), 1, 4), ' ') AS joined
             FROM documents
+        """,
+        "n3_write_udf": """
+            WITH base AS (
+              SELECT 'conv_' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS conv_id,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn,
+                     CASE WHEN l_linenumber % 4 = 0 THEN upper(pt) ELSE pt END AS part_tok,
+                     'supp_' || CAST(l_suppkey AS VARCHAR) AS supp_tok
+              FROM (SELECT *, CASE WHEN l_orderkey % 5 = 0 THEN 'part_hub'
+                                   ELSE 'part_' || CAST(l_partkey AS VARCHAR) END AS pt
+                    FROM lineitem)
+            )
+            SELECT conv_id AS doc_id,
+                   '<' || lower(part_tok) || '> <suppliedBy> <' || supp_tok || '> .' || chr(10) AS n3
+            FROM base WHERE rn = 1
         """,
         "lsh_candidate_pairs": f"""
             {_CANON}

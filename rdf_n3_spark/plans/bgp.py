@@ -60,12 +60,14 @@ class Rule:
     builtins: tuple = ()
 
 
-def match_pattern(triples: DataFrame, pat) -> DataFrame:
+def match_pattern(triples: DataFrame, pat, keep_graph: bool = False) -> DataFrame:
     """One triple pattern → solution DataFrame (one column per variable).
 
     Constants filter (pushed to the scan by Catalyst — a parquet-backed
     store prunes row groups on ``p``/``s``); repeated variables within
-    the pattern add same-row equality predicates.
+    the pattern add same-row equality predicates. ``keep_graph``
+    carries the ``g`` column through — solutions then only merge within
+    one graph (formula-scoped matching, formula.rb:33-36).
     """
     df = triples
     first_col: dict[str, str] = {}
@@ -77,22 +79,28 @@ def match_pattern(triples: DataFrame, pat) -> DataFrame:
                 first_col[t] = col
         else:
             df = df.where(F.col(col) == F.lit(t))
-    return df.select(*[F.col(c).alias(v[1:]) for v, c in first_col.items()])
+    cols = [F.col(c).alias(v[1:]) for v, c in first_col.items()]
+    if keep_graph:
+        cols.append(F.col("g"))
+    return df.select(*cols)
 
 
-def bgp(triples: DataFrame, patterns, sources=None) -> DataFrame:
+def bgp(triples: DataFrame, patterns, sources=None, keep_graph: bool = False) -> DataFrame:
     """Conjunctive pattern join. ``sources`` optionally overrides the
     store per pattern seat (used by the semi-naive delta rounds).
 
     Shared variables → inner equi-join; disjoint patterns → cross join
     (RDF::Query::Solutions#merge semantics). Solutions deduped — the
     reference applies ``.compact.uniq`` after every operator
-    (resource_operator.rb:70).
+    (resource_operator.rb:70). With ``keep_graph`` the ``g`` column is
+    a join key on every seat, so patterns only co-match inside one
+    graph — ALL graphs evaluate in one distributed job instead of a
+    per-formula loop.
     """
     sol = None
     for i, pat in enumerate(patterns):
         src = sources[i] if sources is not None else triples
-        m = match_pattern(src, pat)
+        m = match_pattern(src, pat, keep_graph=keep_graph)
         if sol is None:
             sol = m
         else:
@@ -181,3 +189,63 @@ def fixpoint(triples: DataFrame, rules, max_iter: int = 25) -> DataFrame:
 def conclusions(closed: DataFrame) -> DataFrame:
     """Inferred-only projection (reasoner.rb:226-233)."""
     return closed.where(F.col("inferred")).select(*_POS)
+
+
+# ---------------------------------------------------- per-graph closure
+
+def _instantiate_g(sol: DataFrame, templates) -> DataFrame:
+    """Project graph-scoped solutions through consequent templates,
+    keeping each derivation inside its source graph."""
+
+    def term(t):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    outs = [
+        sol.select(
+            term(s).cast("string").alias("s"),
+            term(p).cast("string").alias("p"),
+            term(o).cast("string").alias("o"),
+            F.col("g"),
+        )
+        for (s, p, o) in templates
+    ]
+    return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
+
+
+def fixpoint_per_graph(quads: DataFrame, rules, max_iter: int = 25) -> DataFrame:
+    """Semi-naive closure of EVERY graph simultaneously → (s,p,o,g,inferred).
+
+    The reference's ``log:conclusion`` closes one formula at a time in
+    process (log/conclusion.rb:18-32); here the graph id rides along as
+    a join key, so one job closes millions of per-conversation graphs —
+    the per-graph loop is replaced by data parallelism, and rounds run
+    until the LAST graph converges (early-converged graphs contribute
+    no delta rows and cost nothing).
+    """
+    cols = [*_POS, "g"]
+    base = quads.select(*cols).dropDuplicates().localCheckpoint()
+    total = base.withColumn("inferred", F.lit(False))
+    delta = base
+    for _ in range(max_iter):
+        outs = []
+        for r in rules:
+            pats = r.antecedent
+            for i in range(len(pats)):
+                sources = [delta if j == i else total.select(*cols) for j in range(len(pats))]
+                outs.append(
+                    _instantiate_g(
+                        bgp(total.select(*cols), pats, sources=sources, keep_graph=True),
+                        r.consequent,
+                    )
+                )
+        derived = reduce(lambda a, b: a.unionByName(b), outs)
+        new = (
+            derived.join(total.select(*cols), cols, "left_anti")
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        total = total.unionByName(new.withColumn("inferred", F.lit(True))).localCheckpoint()
+        delta = new
+    return total
