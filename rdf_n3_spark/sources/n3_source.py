@@ -16,14 +16,49 @@ order for list-ladder reconstruction and debugging).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 QUAD_SCHEMA = (
     "doc_id string, pos int, s string, p string, o string, g string, ok boolean, err string"
 )
+
+#: format registry (reference format.rb:19-32 content negotiation):
+#: extension → MIME; N-Triples ⊂ Turtle ⊂ N3, so one grammar covers all
+FORMATS = {
+    ".n3": "text/n3",
+    ".ttl": "text/turtle",
+    ".nt": "application/n-triples",
+}
+
+
+def format_for(path: str) -> str | None:
+    """Extension dispatch; None = not an RDF text format we read."""
+    return FORMATS.get(os.path.splitext(path)[1].lower())
+
+
+def read_rdf(spark: SparkSession, path: str, base_uri: str = "") -> DataFrame:
+    """Whole-file scan of .n3/.ttl/.nt documents → quad rows.
+
+    One row per file (wholetext), file path as doc id, then the same
+    Arrow-batched parse stage as any other document column — format
+    dispatch is just the glob, because the N3 grammar is a superset of
+    Turtle and N-Triples (reference format.rb registers one reader
+    family for all three).
+    """
+    docs = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("doc_id"),
+            F.col("value").alias("n3_text"),
+        )
+        .withColumn("base_uri", F.lit(base_uri))
+    )
+    return parse_documents(docs)
 
 
 def parse_documents(docs: DataFrame) -> DataFrame:

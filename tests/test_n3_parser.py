@@ -226,3 +226,23 @@ def test_parse_determinism_corpus():
     assert canonical_quads(parse_n3(txt, base_uri=B)) == canonical_quads(
         parse_n3(txt, base_uri=B)
     )
+
+
+def test_read_rdf_extension_dispatch(spark, tmp_path):
+    """Format-registry equivalent: .n3/.ttl/.nt all read through the
+    whole-file scan + parse stage (format.rb:19-32 behavior)."""
+    from rdf_n3_spark.sources.n3_source import format_for, read_rdf
+
+    assert format_for("x.n3") == "text/n3"
+    assert format_for("x.TTL") == "text/turtle"
+    assert format_for("x.nt") == "application/n-triples"
+    assert format_for("x.json") is None
+
+    (tmp_path / "a.ttl").write_text("@prefix : <http://ex/> . :a :b :c .")
+    (tmp_path / "b.nt").write_text(
+        "<http://ex/s> <http://ex/p> <http://ex/o> .\n"
+    )
+    q = read_rdf(spark, str(tmp_path / "*"))
+    rows = {(r["s"], r["p"], r["o"]) for r in q.where("ok").collect()}
+    assert ("<http://ex/a>", "<http://ex/b>", "<http://ex/c>") in rows
+    assert ("<http://ex/s>", "<http://ex/p>", "<http://ex/o>") in rows
