@@ -33,6 +33,7 @@ from rdf_n3_spark.operators.multimodal import (
     media_metadata,
 )
 from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
+from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
 from rdf_n3_spark.operators.triples import entity_triples, mention_triples
@@ -510,6 +511,18 @@ def _q_list_contract(spark, sf_dir):
     )
 
 
+def _q_link_scores(spark, sf_dir):
+    """Entity-link scoring in an Arrow-batched pandas UDF over
+    LSH-blocked candidate pairs (north-star UDF surface)."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return score_candidate_links(m.select("surface").distinct())
+
+
+def _q_link_best(spark, sf_dir):
+    """Best-scoring link per surface (window top-1 over the scores)."""
+    return link_mentions(extract_mentions(transcripts(spark, sf_dir)))
+
+
 def _q_n3_string(spark, sf_dir):
     """log:n3String: round-trip each conversation's parsed snippet back
     through the distributed N3 writer sink (applyInPandas per graph)."""
@@ -622,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_contract": _q_list_contract,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
+        "entity_link_scores": _q_link_scores,
+        "entity_link_best": _q_link_best,
         "n3_parse_udf": _q_parse_n3_snippets,
         "n3_write_udf": _q_n3_string,
         "media_metadata": _q_media_metadata,
@@ -905,6 +920,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(generate_series(0, 3)) AS INT) AS frame_idx,
                    (n_chars / 100.0) * (unnest(generate_series(0, 3)) + 0.5) / 4 AS frame_ts
             FROM documents
+        """,
+        "entity_link_scores": f"""
+            {_CANON},
+scored AS (
+  SELECT cand.a, cand.b,
+         round(0.5 * (CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))))
+             + 0.3 * (1.0 - CAST(levenshtein(lower(cand.a), lower(cand.b)) AS DOUBLE)
+                            / greatest(length(cand.a), length(cand.b), 1))
+             + 0.2 * (CASE WHEN substr(lower(cand.a), 1, 4) = substr(lower(cand.b), 1, 4)
+                           THEN 1.0 ELSE 0.0 END), 9) AS score
+  FROM cand
+  JOIN shsets sa ON sa.surface = cand.a
+  JOIN shsets sb ON sb.surface = cand.b
+),
+keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
+
+            SELECT a, b, score FROM keep
+        """,
+        "entity_link_best": f"""
+            {_CANON},
+scored AS (
+  SELECT cand.a, cand.b,
+         round(0.5 * (CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))))
+             + 0.3 * (1.0 - CAST(levenshtein(lower(cand.a), lower(cand.b)) AS DOUBLE)
+                            / greatest(length(cand.a), length(cand.b), 1))
+             + 0.2 * (CASE WHEN substr(lower(cand.a), 1, 4) = substr(lower(cand.b), 1, 4)
+                           THEN 1.0 ELSE 0.0 END), 9) AS score
+  FROM cand
+  JOIN shsets sa ON sa.surface = cand.a
+  JOIN shsets sb ON sb.surface = cand.b
+),
+keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
+,
+            sym AS (SELECT a, b, score FROM keep
+                    UNION ALL SELECT b, a, score FROM keep),
+            ranked AS (
+              SELECT a, b, score,
+                     row_number() OVER (PARTITION BY a ORDER BY score DESC, b) AS rk
+              FROM sym
+            )
+            SELECT a AS surface, b AS linked_to, score FROM ranked WHERE rk = 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS survivor,
