@@ -195,6 +195,26 @@ _reg(LOG + "langlit", "compute_pair",
      lambda a, b: F.concat(F.lit('"'), as_str(a), F.lit('"@'), as_str(b)))
 
 
+# ------------------------------------------------ backward (inverse) mode
+# ResourceOperator resource_operator.rb:45-47: when the SUBJECT is the
+# unbound variable and the object is ground, invertible operators bind
+# the subject with the inverse computation.
+
+SQL_INVERSES: dict[str, object] = {
+    MATH + "negation": _n(lambda o: -o),            # self-inverse
+    MATH + "sin": _n(F.asin),                        # math/sin.rb object-var branch family
+    MATH + "cos": _n(F.acos),
+    MATH + "tan": _n(F.atan),
+    MATH + "sinh": _n(F.asinh),
+    MATH + "cosh": _n(F.acosh),
+    MATH + "tanh": _n(F.atanh),
+    # epoch seconds → dateTime lexical (time/in_seconds.rb:17-41 object branch)
+    TIME + "inSeconds": lambda o: F.date_format(
+        F.to_timestamp(as_num(o).cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    ),
+}
+
+
 # ------------------------------------------------------- execution skeleton
 
 def _is_var(t) -> bool:
@@ -250,6 +270,17 @@ def apply_builtins(sol: DataFrame, specs) -> DataFrame:
                 return _resolve(sol, term)
 
             if not _inputs_ready(sol, subj):
+                # backward mode: unbound subject var + ground object +
+                # registered inverse → bind the subject
+                if (
+                    mode == "compute"
+                    and _is_var(subj)
+                    and iri in SQL_INVERSES
+                    and _inputs_ready(sol, obj)
+                ):
+                    sol = sol.withColumn(subj[1:], SQL_INVERSES[iri](_resolve(sol, obj)))
+                    progressed = True
+                    continue
                 rest.append(spec)
                 continue
             if mode == "test":

@@ -98,6 +98,18 @@ def test_time_validity_is_lexical(spark):
     assert by["2024"] is None and by["2024-03-07"] == 7
 
 
+def test_backward_inverse_mode(spark):
+    """Unbound SUBJECT + ground object → inverse bind
+    (resource_operator.rb:45-47)."""
+    df = spark.createDataFrame([("row",)], ["k"])
+    out = apply_builtins(df, [
+        ("?x", MATH + "negation", "5"),
+        ("?t", TIME + "inSeconds", "1700000000"),
+    ]).collect()[0]
+    assert out["x"] == -5.0
+    assert out["t"] == "2023-11-14T22:13:20Z"
+
+
 def test_dtlit_langlit(spark):
     df = spark.createDataFrame([("chat", "en")], ["w", "l"])
     out = apply_builtins(df, [
