@@ -234,6 +234,53 @@ WITH qe AS (
 )
 """
 
+# Exact-integer mirror of multimodal.quantize_features over the utf-8
+# payload bytes (blob → hex-digit pairs → per-dim weighted sums). All
+# arithmetic is int64 until one double multiply/divide/floor whose
+# operands are exactly representable, so the values match Spark's
+# Arrow-UDF output bit-for-bit.
+_MF_ACC = " ,\n".join(
+    f"CAST(coalesce(sum(CASE WHEN i % 8 = {k} THEN bv * ((i % 97) + 1) END), 0) "
+    f"AS BIGINT) AS a{k}"
+    for k in range(8)
+)
+_MF_NORMSUM = " + ".join(f"a{k}*a{k}" for k in range(8))
+_MF_QF = " ,\n".join(
+    f"CAST(floor(CAST(a{k} AS DOUBLE) * 1000000.0 / n) AS BIGINT) AS qf{k}"
+    for k in range(8)
+)
+_MEDIA_FEATURES = f"""
+WITH raw AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         least(octet_length(encode(text)), 4096) AS nb,
+         octet_length(encode(text)) AS full_nb
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, hx, full_nb,
+         CAST(unnest(generate_series(0, nb - 1)) AS INT) AS i
+  FROM raw
+),
+bytes AS (
+  SELECT doc_id, full_nb, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM idx
+),
+acc AS (
+  SELECT doc_id, any_value(full_nb) AS nb, {_MF_ACC}
+  FROM bytes GROUP BY doc_id
+),
+q AS (
+  SELECT *, CASE WHEN {_MF_NORMSUM} = 0 THEN 1.0
+                 ELSE sqrt(CAST({_MF_NORMSUM} AS DOUBLE)) END AS n
+  FROM acc
+)
+SELECT doc_id, 'text/plain' AS mime, CAST(nb AS BIGINT) AS n_bytes,
+       TRUE AS ok, {_MF_QF}
+FROM q
+"""
+
 _COS_EXPR = (
     "CAST(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * t.e[i])) AS DOUBLE)"
     " / (sqrt(CAST(list_sum(list_transform(q.e, x -> x * x)) AS DOUBLE))"
@@ -595,10 +642,15 @@ def _q_media_metadata(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Arrow-batched decode+feature stage (stub codec, real plumbing);
-    non-SQL-expressible → rows-only check."""
+    """Arrow-batched decode+feature stage (stub codec, real plumbing).
+    The harness-facing projection is the exact integer quantization
+    (floor(acc*1e6/norm) per dim — see multimodal.quantize_features):
+    every operand is an exactly representable double, so the DuckDB
+    oracle reproduces the values bit-identically from the same bytes."""
     d = _media_df(spark, sf_dir).withColumn("mime", F.lit("text/plain"))
-    return extract_features(d)
+    feats = extract_features(d)
+    dims = [F.element_at("qfeat", i + 1).alias(f"qf{i}") for i in range(8)]
+    return feats.select("doc_id", "mime", "n_bytes", "ok", *dims)
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -914,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
+        "media_features": _MEDIA_FEATURES,
         "frame_sample": """
             SELECT doc_id,
                    n_chars / 100.0 AS duration_s,

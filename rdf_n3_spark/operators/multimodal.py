@@ -19,6 +19,7 @@ table: per-modality transforms keyed by MIME class (SURVEY §2.10).
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -64,8 +65,28 @@ FEATURE_DIM = 8
 
 FEATURE_SCHEMA = (
     "doc_id bigint, mime string, n_bytes bigint, ok boolean, err string, "
-    f"features array<float>"
+    "features array<float>, qfeat array<bigint>"
 )
+
+
+def _raw_accumulators(payload: bytes) -> list[int]:
+    """Integer feature accumulators: position-weighted byte sums per
+    dimension. Exact int arithmetic (all values < 2^53), so any engine
+    reproduces them bit-identically — the basis of the oracle check."""
+    acc = [0] * FEATURE_DIM
+    for i, b in enumerate(payload[:4096]):
+        acc[i % FEATURE_DIM] += b * ((i % 97) + 1)
+    return acc
+
+
+def quantize_features(acc: list[int]) -> list[int]:
+    """floor(a * 1e6 / ||acc||) per dimension. Every operand is an
+    exactly representable double (a ≤ ~1.3e7, a*1e6 < 2^53; the norm is
+    a correctly rounded IEEE sqrt), so the floored int64 is identical in
+    Python, Spark and DuckDB — unlike round()ed floats, whose half-way
+    ties depend on the engine's rounding mode."""
+    norm = _math.sqrt(sum(a * a for a in acc)) or 1.0
+    return [_math.floor(a * 1e6 / norm) for a in acc]
 
 
 def _decode_and_embed(payload: bytes, mime: str, fake: bool) -> list[float]:
@@ -80,10 +101,8 @@ def _decode_and_embed(payload: bytes, mime: str, fake: bool) -> list[float]:
     """
     if not fake:
         raise NotImplementedError("no media codecs in this environment")
-    acc = [0.0] * FEATURE_DIM
-    for i, b in enumerate(payload[:4096]):
-        acc[i % FEATURE_DIM] += b * ((i % 97) + 1)
-    norm = sum(a * a for a in acc) ** 0.5 or 1.0
+    acc = _raw_accumulators(payload)
+    norm = _math.sqrt(sum(a * a for a in acc)) or 1.0
     return [round(a / norm, 6) for a in acc]
 
 
@@ -101,7 +120,7 @@ def extract_features(df: DataFrame, payload: str = "payload",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
-                   ("doc_id", "mime", "n_bytes", "ok", "err", "features")}
+                   ("doc_id", "mime", "n_bytes", "ok", "err", "features", "qfeat")}
             for row in pdf.itertuples(index=False):
                 payload_bytes = bytes(row.payload or b"")
                 out["doc_id"].append(int(row.doc_id))
@@ -113,10 +132,12 @@ def extract_features(df: DataFrame, payload: str = "payload",
                     out["ok"].append(True)
                     out["err"].append("")
                     out["features"].append(feats)
+                    out["qfeat"].append(quantize_features(_raw_accumulators(payload_bytes)))
                 except NotImplementedError as ex:
                     out["ok"].append(False)
                     out["err"].append(str(ex))
                     out["features"].append(None)
+                    out["qfeat"].append(None)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)

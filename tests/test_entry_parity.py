@@ -32,5 +32,5 @@ def test_query_matches_oracle(spark, name):
 def test_all_queries_have_oracles_or_are_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles; keep the list explicit
-    allowed_rows_only = {"media_features"}  # stubbed codec inside mapInPandas
+    allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
