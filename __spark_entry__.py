@@ -839,7 +839,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(l_partkey - (l_suppkey + 1)) AS DOUBLE) AS abs_diff,
                    CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
                    CAST(ceiling(l_extendedprice) AS BIGINT) AS ceil_p,
-                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS round_p
+                   CAST(CASE WHEN l_extendedprice >= 0
+                             THEN floor(l_extendedprice + 0.5)
+                             ELSE -floor(-l_extendedprice + 0.5) END AS BIGINT) AS round_p
             FROM lineitem
             WHERE l_partkey > l_suppkey + 1
         """,
@@ -914,10 +916,10 @@ def oracle_sql() -> dict[str, str]:
             named AS (
               SELECT *,
                      CASE WHEN pos = 0 THEN head
-                          ELSE head || '_' || CAST(pos AS VARCHAR) END AS cell,
+                          ELSE head || '#_' || CAST(pos AS VARCHAR) END AS cell,
                      CASE WHEN pos = n - 1
                           THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>'
-                          ELSE head || '_' || CAST(pos + 1 AS VARCHAR) END AS nxt
+                          ELSE head || '#_' || CAST(pos + 1 AS VARCHAR) END AS nxt
               FROM cells
             )
             SELECT cell AS s,

@@ -171,7 +171,10 @@ _reg(MATH + "exponentiation", "compute_list", _numeric_op(lambda a, b: a ** b))
 _reg(MATH + "integerQuotient", "compute_list", _numeric_op(lambda a, b: int(a // b)))
 _reg(MATH + "negation", "compute", _numeric_op(lambda a: -a))
 _reg(MATH + "absoluteValue", "compute", _numeric_op(abs))
-_reg(MATH + "rounded", "compute", lambda t: enc_int(_math.floor(float(as_number(t)) + 0.5)))
+# half-away-from-zero (Ruby Float#round semantics, math/rounded.rb)
+_reg(MATH + "rounded", "compute",
+     lambda t: enc_int(int(_math.copysign(
+         _math.floor(abs(float(as_number(t))) + 0.5), float(as_number(t))))))
 _reg(MATH + "ceiling", "compute", lambda t: enc_int(_math.ceil(float(as_number(t)))))
 _reg(MATH + "floor", "compute", lambda t: enc_int(_math.floor(float(as_number(t)))))
 for _n in ("sin", "cos", "tan", "sinh", "cosh", "tanh", "asin", "acos", "atan", "asinh", "acosh", "atanh"):

@@ -97,9 +97,10 @@ _reg(MATH + "integerQuotient", "compute_pair",
      _n(lambda a, b: F.floor(a / b).cast("long")))
 _reg(MATH + "negation", "compute", _n(lambda a: -a))
 _reg(MATH + "absoluteValue", "compute", _n(F.abs))
-# round-half-up like Ruby Float#round for positives (driver twin does
-# floor(x+0.5) too, so the two layers agree)
-_reg(MATH + "rounded", "compute", _n(lambda a: F.floor(a + 0.5)))
+# half-away-from-zero like Ruby Float#round (math/rounded.rb):
+# -2.5 → -3, 2.5 → 3 (floor(x+0.5) would give -2 for -2.5)
+_reg(MATH + "rounded", "compute",
+     _n(lambda a: (F.signum(a) * F.floor(F.abs(a) + 0.5)).cast("long")))
 _reg(MATH + "ceiling", "compute", _n(F.ceil))
 _reg(MATH + "floor", "compute", _n(F.floor))
 for _name in ("sin", "cos", "tan", "sinh", "cosh", "tanh",

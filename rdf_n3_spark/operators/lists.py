@@ -23,11 +23,20 @@ REST = f"<{RDF}rest>"
 NIL = f"<{RDF}nil>"
 
 
+#: cell-id separator. The reference uses "_" (list.rb:396
+#: ``"#{head_id}_#{ndx}"``), but this engine's head ids can themselves
+#: end in ``_<digits>`` (skolem ids like ``ent:part_4``), which would
+#: make contraction ambiguous (``h`` vs ``h_1`` collide).  A separator
+#: that cannot appear in term ids keeps (head, pos) recoverable; cell
+#: ids are bnode-like internals, so triple-set parity is unaffected.
+SEP = "#_"
+
+
 def _cell(head, pos):
-    """Deterministic ladder-cell id (list.rb:396): head for position 0,
-    ``head_<ndx>`` after."""
+    """Deterministic ladder-cell id: head for position 0,
+    ``head#_<ndx>`` after (see SEP)."""
     return F.when(pos == 0, head).otherwise(
-        F.concat(head, F.lit("_"), pos.cast("string"))
+        F.concat(head, F.lit(SEP), pos.cast("string"))
     )
 
 
@@ -60,16 +69,17 @@ def contract_ladders(triples: DataFrame) -> DataFrame:
 
     Relies on the deterministic cell-id contract above: a cell's head
     and position are recoverable from its id (``head`` or
-    ``head_<ndx>``), so contraction needs NO iterative pointer chase —
-    one regexp projection plus one groupBy, instead of O(list length)
-    self-joins.  Ladders produced by third-party writers (opaque cell
-    ids) would need the iterative variant; ours never does.
+    ``head#_<ndx>``, SEP chosen so no head id can end that way), so
+    contraction needs NO iterative pointer chase — one regexp
+    projection plus one groupBy, instead of O(list length) self-joins.
+    Ladders produced by third-party writers (opaque cell ids) would
+    need the iterative variant; ours never does.
     """
     firsts = triples.where(F.col("p") == FIRST)
     cell = F.col("s")
-    head = F.regexp_replace(cell, r"_\d+$", "")
+    head = F.regexp_replace(cell, r"#_\d+$", "")
     pos = F.coalesce(
-        F.nullif(F.regexp_extract(cell, r"_(\d+)$", 1), F.lit("")).cast("int"),
+        F.nullif(F.regexp_extract(cell, r"#_(\d+)$", 1), F.lit("")).cast("int"),
         F.lit(0),
     )
     return (

@@ -232,12 +232,15 @@ def fixpoint_per_graph(quads: DataFrame, rules, max_iter: int = 25) -> DataFrame
             pats = r.antecedent
             for i in range(len(pats)):
                 sources = [delta if j == i else total.select(*cols) for j in range(len(pats))]
-                outs.append(
-                    _instantiate_g(
-                        bgp(total.select(*cols), pats, sources=sources, keep_graph=True),
-                        r.consequent,
-                    )
-                )
+                sol = bgp(total.select(*cols), pats, sources=sources, keep_graph=True)
+                if r.builtins:
+                    # builtin constraints compose with the g column —
+                    # same rank-scheduled Column transforms as the
+                    # global fixpoint (_solutions), per-graph for free
+                    from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+                    sol = apply_builtins(sol, r.builtins)
+                outs.append(_instantiate_g(sol, r.consequent))
         derived = reduce(lambda a, b: a.unionByName(b), outs)
         new = (
             derived.join(total.select(*cols), cols, "left_anti")

@@ -26,12 +26,9 @@ from pyspark.sql import functions as F
 def _graphs_matching(quads: DataFrame, pattern) -> DataFrame:
     """Graphs (g values) containing ≥1 match of one (s,p,o) pattern.
 
-    Variables shared *between* patterns are intentionally not joined
-    here — log:includes substitutes subject-formula variables before
-    querying (includes.rb:47-52), so each pattern is independent and
-    the test is per-pattern containment.  Constants become pushed-down
-    filters; a variable repeated within the pattern adds a same-row
-    equality (repository.rb query_pattern semantics).
+    Constants become pushed-down filters; a variable repeated within
+    the pattern adds a same-row equality (repository.rb query_pattern
+    semantics).  Shuffles only distinct graph ids, never triples.
     """
     df = quads
     seen: dict[str, str] = {}
@@ -46,23 +43,66 @@ def _graphs_matching(quads: DataFrame, pattern) -> DataFrame:
     return df.select("g").dropDuplicates()
 
 
-def graph_includes(quads: DataFrame, patterns) -> DataFrame:
-    """Graph names whose triple set includes a match for EVERY pattern.
+def _pattern_vars(pattern) -> set:
+    return {t for t in pattern if isinstance(t, str) and t.startswith("?")}
 
-    Shape: per-pattern distinct-graph projections, intersected by a
-    count aggregation (a graph appears once per satisfied pattern).
-    Each projection is a pushed-down filter scan; the intersection
-    shuffles only distinct graph ids — never triples.
+
+def _var_components(patterns) -> list[list]:
+    """Group patterns into connected components by shared variables
+    (driver-side union-find over the pattern list — tiny)."""
+    parent = list(range(len(patterns)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    by_var: dict[str, int] = {}
+    for i, p in enumerate(patterns):
+        for v in _pattern_vars(p):
+            if v in by_var:
+                parent[find(i)] = find(by_var[v])
+            else:
+                by_var[v] = i
+    comps: dict[int, list] = {}
+    for i, p in enumerate(patterns):
+        comps.setdefault(find(i), []).append(p)
+    return list(comps.values())
+
+
+def graph_includes(quads: DataFrame, patterns) -> DataFrame:
+    """Graph names whose triple set entails the pattern conjunction.
+
+    The reference's log:includes runs the object formula as ONE BGP
+    query against the subject formula (includes.rb:57-58), so variables
+    shared between patterns must bind consistently *within a graph* —
+    not just match pattern-by-pattern.  Plan shape: patterns are
+    grouped into variable-connected components; a singleton component
+    is a pushed-down filter + distinct-g projection (no solution
+    shuffle), a multi-pattern component is a per-graph BGP join
+    (bgp(..., keep_graph=True) — g rides every seat as a join key)
+    projected to distinct g.  Components are independent by
+    construction, so their graph sets intersect via a count
+    aggregation over graph ids only.
     """
-    per = [
-        _graphs_matching(quads, p).withColumn("__pat", F.lit(i))
-        for i, p in enumerate(patterns)
-    ]
+    comps = _var_components(list(patterns))
+    per = []
+    for i, comp in enumerate(comps):
+        if len(comp) == 1:
+            g = _graphs_matching(quads, comp[0])
+        else:
+            from rdf_n3_spark.plans.bgp import bgp
+
+            g = bgp(quads, comp, keep_graph=True).select("g").dropDuplicates()
+        per.append(g.withColumn("__pat", F.lit(i)))
+    if len(per) == 1:
+        return per[0].select("g")
     hits = reduce(lambda a, b: a.unionByName(b), per)
     return (
         hits.groupBy("g")
         .agg(F.countDistinct("__pat").alias("__n"))
-        .where(F.col("__n") == len(patterns))
+        .where(F.col("__n") == len(comps))
         .select("g")
     )
 

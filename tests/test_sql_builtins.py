@@ -131,6 +131,72 @@ def test_graph_includes_and_not(spark):
     assert [r["g"] for r in ninc.collect()] == ["g2"]
 
 
+def test_graph_includes_joins_shared_vars_per_graph(spark):
+    """Variables shared BETWEEN patterns must bind consistently within
+    a graph (includes.rb:57-58 runs the object formula as one BGP):
+    a graph matching each pattern separately but with no joined
+    solution must NOT pass."""
+    quads = spark.createDataFrame(
+        [
+            ("a", "p", "1", "g1"), ("b", "q", "2", "g1"),   # disjoint matches
+            ("c", "p", "1", "g2"), ("c", "q", "9", "g2"),   # joined solution
+        ],
+        ["s", "p", "o", "g"],
+    )
+    pats = [("?x", "p", "1"), ("?x", "q", "?y")]
+    assert [r["g"] for r in graph_includes(quads, pats).collect()] == ["g2"]
+    assert [r["g"] for r in graph_not_includes(quads, pats).collect()] == ["g1"]
+
+
+def test_graph_includes_independent_components_intersect(spark):
+    """Patterns with no shared variables stay independent containment
+    tests (cheap distinct-g scans), intersected across components."""
+    quads = spark.createDataFrame(
+        [
+            ("a", "p", "1", "g1"), ("z", "r", "7", "g1"),
+            ("a", "p", "1", "g2"),
+        ],
+        ["s", "p", "o", "g"],
+    )
+    pats = [("?x", "p", "1"), ("?w", "r", "?v")]
+    assert [r["g"] for r in graph_includes(quads, pats).collect()] == ["g1"]
+
+
+def test_rounded_half_away_from_zero(spark):
+    """Ruby Float#round semantics (math/rounded.rb): -2.5 → -3."""
+    df = spark.createDataFrame([("-2.5",), ("2.5",), ("-0.3",)], ["a"])
+    rows = apply_builtins(df, [("?a", MATH + "rounded", "?r")]).collect()
+    by = {r["a"]: r["r"] for r in rows}
+    assert by == {"-2.5": -3, "2.5": 3, "-0.3": 0}
+
+    from rdf_n3_spark.functions.builtins import REGISTRY
+
+    _, fn = REGISTRY[MATH + "rounded"]
+    assert fn("-2.5") == '"-3"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert fn("2.5") == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_fixpoint_per_graph_applies_builtins(spark):
+    """A rule carrying builtin constraints must filter per-graph
+    closure solutions too (not over-derive)."""
+    from rdf_n3_spark.plans.bgp import Rule, fixpoint_per_graph
+
+    quads = spark.createDataFrame(
+        [("e1", ":n", "3", "g1"), ("e2", ":n", "9", "g1"), ("e3", ":n", "7", "g2")],
+        ["s", "p", "o", "g"],
+    )
+    rule = Rule(
+        antecedent=(("?e", ":n", "?c"),),
+        consequent=(("?e", ":big", "?c"),),
+        builtins=(("?c", MATH + "greaterThan", "5"),),
+    )
+    got = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in fixpoint_per_graph(quads, [rule]).where(F.col("inferred")).collect()
+    }
+    assert got == {("e2", ":big", "9", "g1"), ("e3", ":big", "7", "g2")}
+
+
 def test_graph_includes_repeated_var(spark):
     """A variable repeated inside one pattern forces same-row equality."""
     quads = spark.createDataFrame(
@@ -152,13 +218,31 @@ def test_ladder_roundtrip(spark):
     df = spark.createDataFrame([("h1", ["a", "b", "c"]), ("h2", ["x"])], ["head", "items"])
     ladder = expand_list_column(df, "head", "items")
     rows = {(r["s"], r["p"]): r["o"] for r in ladder.collect()}
-    # cell ids follow list.rb:396 determinism: head, head_1, head_2
+    # cell ids are deterministic (list.rb:396 shape) with a reserved
+    # separator so heads ending in _<digits> can't collide
     assert rows[("h1", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>")] == "a"
-    assert rows[("h1_1", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>")] == "b"
-    assert rows[("h1_2", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>")] == NIL
+    assert rows[("h1#_1", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>")] == "b"
+    assert rows[("h1#_2", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>")] == NIL
     assert rows[("h2", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>")] == NIL
     back = {r["head"]: r["items"] for r in contract_ladders(ladder).collect()}
     assert back == {"h1": ["a", "b", "c"], "h2": ["x"]}
+
+
+def test_ladder_roundtrip_heads_ending_in_digits(spark):
+    """Heads that themselves end in _<digits> (the repo's own skolem-id
+    scheme, e.g. ent:part_4) must not merge or shift positions."""
+    df = spark.createDataFrame(
+        [("ent:part_4", ["a", "b"]), ("ent:part", ["x", "y"]), ("h", ["p"]), ("h_1", ["q"])],
+        ["head", "items"],
+    )
+    ladder = expand_list_column(df, "head", "items")
+    back = {r["head"]: r["items"] for r in contract_ladders(ladder).collect()}
+    assert back == {
+        "ent:part_4": ["a", "b"],
+        "ent:part": ["x", "y"],
+        "h": ["p"],
+        "h_1": ["q"],
+    }
 
 
 def test_rule_with_builtin_filter(spark):
