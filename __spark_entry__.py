@@ -32,7 +32,7 @@ from rdf_n3_spark.operators.multimodal import (
     frame_sample_plan,
     media_metadata,
 )
-from rdf_n3_spark.operators.similarity import ann_topk, ivf_topk
+from rdf_n3_spark.operators.similarity import ann_topk, ann_topk_partial, ivf_topk
 from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
@@ -286,6 +286,62 @@ _COS_EXPR = (
     " / (sqrt(CAST(list_sum(list_transform(q.e, x -> x * x)) AS DOUBLE))"
     " * sqrt(CAST(list_sum(list_transform(t.e, x -> x * x)) AS DOUBLE)))"
 )
+
+# Hamming-1 multi-probe shell (mirror of similarity.probe_buckets):
+# the vector's own sign bucket plus each single-bit flip
+_PROBES = ", ".join(
+    f"substr(bucket, 1, {i - 1}) || "
+    f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+    f"substr(bucket, {i + 1})"
+    for i in range(1, 7)
+)
+_QPROBE = f"""
+qp AS (
+  SELECT vec_id, e, unnest([bucket, {_PROBES}]) AS bucket FROM qe
+)
+"""
+
+# Banded random-hyperplane LSH keys (mirror of dedup.lsh_band_keys):
+# the SAME md5-derived ±1 weights, expanded as exact int64 sums so the
+# sign — and therefore the bucket — is engine-identical.
+def _band_keys_sql() -> str:
+    from rdf_n3_spark.operators.dedup import BANDS_E, BITS_E, hyperplane_weights
+
+    W = hyperplane_weights()
+    keys = []
+    for b in range(BANDS_E):
+        chars = " || ".join(
+            "(CASE WHEN "
+            + " + ".join(f"e[{i + 1}]*{W[b][j][i]}" for i in range(64))
+            + " >= 0 THEN '1' ELSE '0' END)"
+            for j in range(BITS_E)
+        )
+        keys.append(f"'{b}|' || {chars}")
+    return ", ".join(keys)
+
+
+_EMB_KEYS = f"""
+keys AS (
+  SELECT vec_id, unnest([{_band_keys_sql()}]) AS band_key FROM qe
+)
+"""
+
+# exact brute-force top-k — shared by ann_topk (window plan) and
+# ann_topk_partial (per-partition pre-aggregated plan): same results
+_ANN_TOPK_SQL = f"""
+    {_QEMB},
+    scored AS (
+      SELECT q.vec_id AS q, t.vec_id AS vec_id, {_COS_EXPR} AS cos
+      FROM qe q JOIN qe t ON q.vec_id <> t.vec_id
+      WHERE q.vec_id < 20
+    ),
+    ranked AS (
+      SELECT q, vec_id, cos,
+             row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -699,7 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
         "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
         "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
+        "ann_topk_partial": lambda s, d: ann_topk_partial(_embs(s, d)),
         "ann_ivf": lambda s, d: ivf_topk(_embs(s, d)),
+        "ann_ivf_multiprobe": lambda s, d: ivf_topk(_embs(s, d), hamming=1),
         "text_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_quality": lambda s, d: quality_score(_docs(s, d)),
         "lang_id": lambda s, d: lang_id(_docs(s, d)),
@@ -1034,17 +1092,24 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             FROM sims GROUP BY simhash
         """,
         "dedup_embedding": f"""
-            {_QEMB}
-            SELECT q.vec_id AS a, t.vec_id AS b
-            FROM qe q JOIN qe t ON q.vec_id < t.vec_id
-            WHERE q.vec_id < 50
-              AND {_COS_EXPR} >= 0.35
-        """,
-        "ann_topk": f"""
             {_QEMB},
+            {_EMB_KEYS},
+            cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM keys l JOIN keys r USING (band_key)
+              WHERE l.vec_id < r.vec_id AND l.vec_id < 50
+            )
+            SELECT a, b FROM cand
+            JOIN qe q ON q.vec_id = cand.a
+            JOIN qe t ON t.vec_id = cand.b
+            WHERE {_COS_EXPR} >= 0.35
+        """,
+        "ann_ivf_multiprobe": f"""
+            {_QEMB},
+            {_QPROBE},
             scored AS (
               SELECT q.vec_id AS q, t.vec_id AS vec_id, {_COS_EXPR} AS cos
-              FROM qe q JOIN qe t ON q.vec_id <> t.vec_id
+              FROM qp q JOIN qe t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
               WHERE q.vec_id < 20
             ),
             ranked AS (
@@ -1054,6 +1119,8 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             )
             SELECT q, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 10
         """,
+        "ann_topk_partial": _ANN_TOPK_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
         "ann_ivf": f"""
             {_QEMB},
             scored AS (

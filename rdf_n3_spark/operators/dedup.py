@@ -125,16 +125,82 @@ def quantize(col, scale: int = 1000):
     return F.transform(col, lambda x: F.round(x * scale).cast("bigint"))
 
 
+#: random-hyperplane LSH defaults: BANDS_E band keys of BITS_E sign bits
+#: each (OR-amplification, SimHash-style).  2^BITS_E is the bucket count
+#: per band — the scale knob: grow BITS_E with the corpus so band
+#: buckets stay join-able (exactly like MinHash band width above).
+BANDS_E = 8
+BITS_E = 4
+
+
+def hyperplane_weights(bands: int = BANDS_E, bits: int = BITS_E,
+                       dims: int = 64) -> list:
+    """Deterministic ±1 hyperplane weights, md5-derived — shared with
+    the DuckDB oracle (the SQL embeds the same literals), so bucketing
+    is engine-portable with zero float ambiguity."""
+    import hashlib
+
+    return [
+        [
+            [
+                1 if int(hashlib.md5(f"{b}|{j}|{i}".encode()).hexdigest()[0], 16) >= 8
+                else -1
+                for i in range(dims)
+            ]
+            for j in range(bits)
+        ]
+        for b in range(bands)
+    ]
+
+
+def lsh_band_keys(qcol, bands: int = BANDS_E, bits: int = BITS_E,
+                  dims: int = 64):
+    """Quantized embedding → array of band keys ``"<b>|<sign bits>"``.
+    Each sign is the sign of an exact int64 dot product with a ±1
+    hyperplane (quantized components × ±1 — order-independent, so any
+    engine computes the identical bucket)."""
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    W = hyperplane_weights(bands, bits, dims)
+    keys = []
+    for b in range(bands):
+        chars = []
+        for j in range(bits):
+            dot = _reduce(_add, [F.element_at(qcol, i + 1) * W[b][j][i]
+                                 for i in range(dims)])
+            chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        keys.append(F.concat(F.lit(f"{b}|"), *chars))
+    return F.array(*keys)
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                            max_query_id: int = 50) -> DataFrame:
-    """(a, b) pairs with quantized-cosine ≥ threshold, for query ids
-    < max_query_id vs the full table. At scale the query side is the
-    broadcast side; the full table streams."""
-    q = embeddings.select(
-        F.col("vec_id").alias("a"), quantize(F.col("embedding")).alias("ea")
-    ).where(F.col("a") < max_query_id)
-    t = embeddings.select(
-        F.col("vec_id").alias("b"), quantize(F.col("embedding")).alias("eb")
+                            max_query_id: int = 50, bands: int = BANDS_E,
+                            bits: int = BITS_E, dims: int = 64) -> DataFrame:
+    """(a, b) near-duplicate pairs with quantized-cosine ≥ threshold:
+    banded random-hyperplane LSH blocking + the EXACT cosine verify.
+
+    Same skeleton as :func:`minhash_neardup_pairs`: per-vector band
+    keys → equi-self-join on the band key → distinct candidate pairs →
+    exact verify.  At full-corpus scope the former broadcast-crossJoin
+    was the all-pairs quadratic shape; here candidate volume is bounded
+    by band-bucket co-occupancy, and the band key is an equi-join
+    column, never a cross-join.  Like every LSH blocker, recall < 1 by
+    construction — a pair is a candidate iff it agrees on ALL bits of
+    ≥1 band (measured on the sandbox corpus in
+    tests/test_similarity_dedup.py; bands is the recall knob, bits the
+    bucket-size/scale knob)."""
+    qe = embeddings.select("vec_id", quantize(F.col("embedding")).alias("e"))
+    keyed = qe.select(
+        "vec_id", F.explode(lsh_band_keys(F.col("e"), bands, bits, dims)).alias("band_key")
+    )
+    qk = keyed.where(F.col("vec_id") < max_query_id).withColumnRenamed("vec_id", "a")
+    tk = keyed.withColumnRenamed("vec_id", "b")
+    cand = (
+        qk.join(tk, "band_key")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y),
@@ -146,8 +212,8 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                     lambda acc, v: acc + v).cast("double")
     )
     pairs = (
-        F.broadcast(q).crossJoin(t)
-        .where(F.col("a") < F.col("b"))
+        cand.join(qe.select(F.col("vec_id").alias("a"), F.col("e").alias("ea")), "a")
+        .join(qe.select(F.col("vec_id").alias("b"), F.col("e").alias("eb")), "b")
         .withColumn("cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
     )
     return pairs.where(F.col("cos") >= threshold).select("a", "b")

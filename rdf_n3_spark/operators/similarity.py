@@ -2,13 +2,20 @@
 
 * ``ann_topk`` — brute-force quantized-cosine top-k (the exact
   baseline). Query side broadcast, corpus side streamed: at 100 TB the
-  corpus never shuffles; per-partition partial top-k would be the next
-  refinement (Spark's window already map-side-prunes with rank ≤ k).
-* ``ivf_topk`` — the scale path: deterministic sign-bucket coarse
-  quantization (hyperoctant IVF). Corpus is bucketed once by the sign
-  pattern of its leading dimensions; a query probes only its own
-  bucket. Recall < 1 by design; bucket fan-out (probing Hamming-
-  adjacent buckets) is the standard recall knob.
+  corpus never shuffles — but the scored rows do (|Q|×|corpus| through
+  the rank window), so this is the ORACLE shape, not the serving path.
+* ``ann_topk_partial`` — the exact path that survives scale: scoring
+  stays identical (JVM Column expressions), then a per-partition
+  partial top-k (Arrow-batched heap — comparisons only, no arithmetic,
+  so results are bit-identical) reduces each partition to ≤ |Q|·k rows
+  BEFORE the global rank window.  Shuffle volume drops from
+  |Q|×|corpus| to parts×|Q|×k.
+* ``ivf_topk`` — the approximate scale path: deterministic sign-bucket
+  coarse quantization (hyperoctant IVF). Corpus is bucketed once by
+  the sign pattern of its leading dimensions; a query probes its own
+  bucket, and with ``hamming=1`` also the Hamming-distance-1 buckets
+  (multi-probe — the standard recall knob; each probe is still an
+  equi-join key, never a cross-join).
 
 Quantized-int dot products keep cosine bit-identical across engines
 (see dedup.quantize) — float accumulation order is engine-specific,
@@ -17,6 +24,9 @@ int64 sums are not.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,15 +79,39 @@ def sign_bucket(col, dims: int = 6):
     )
 
 
+def _flip(bucket, i: int, dims: int):
+    """Bucket key with bit ``i`` (1-based) flipped."""
+    flipped = F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(F.substring(bucket, 1, i - 1), flipped,
+                    F.substring(bucket, i + 1, dims))
+
+
+def probe_buckets(col, dims: int = 6, hamming: int = 1):
+    """Multi-probe key set: the vector's own sign bucket plus, with
+    ``hamming=1``, every bucket one sign-flip away (dims+1 distinct
+    keys).  A vector near a hyperplane boundary lands in a neighbor
+    bucket; probing the Hamming-1 shell recovers those matches while
+    each probe stays an equi-join key."""
+    own = sign_bucket(col, dims)
+    if hamming <= 0:
+        return F.array(own)
+    return F.array(own, *[_flip(own, i + 1, dims) for i in range(dims)])
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 10, max_query_id: int = 20,
-             dims: int = 6) -> DataFrame:
-    """(q, rank, vec_id, cos) — approximate top-k probing only the
-    query's sign bucket. The bucket key is an equi-join column, so the
-    probe is a co-partitioned join, not a cross-join."""
+             dims: int = 6, hamming: int = 0) -> DataFrame:
+    """(q, rank, vec_id, cos) — approximate top-k probing the query's
+    sign bucket (``hamming=0``) or its Hamming-≤1 shell (``hamming=1``,
+    multi-probe). Probe keys are equi-join columns, so the probe is a
+    co-partitioned join, not a cross-join; the query side explodes to
+    dims+1 probe rows (query side is the small broadcast side, so the
+    fan-out is driver-bounded, not corpus-bounded).  A corpus vector
+    matches at most one probe key per query (probe keys are distinct),
+    so no post-join dedup is needed."""
     q = embeddings.select(
         F.col("vec_id").alias("q"),
         quantize(F.col("embedding")).alias("eq"),
-        sign_bucket(F.col("embedding"), dims).alias("bucket"),
+        F.explode(probe_buckets(F.col("embedding"), dims, hamming)).alias("bucket"),
     ).where(F.col("q") < max_query_id)
     t = embeddings.select(
         F.col("vec_id").alias("vec_id"),
@@ -92,6 +126,54 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, max_query_id: int = 20,
     w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "rank", "vec_id", "cos")
+    )
+
+
+def ann_topk_partial(embeddings: DataFrame, k: int = 10,
+                     max_query_id: int = 20) -> DataFrame:
+    """Exact top-k with per-partition pre-aggregation — identical
+    results to :func:`ann_topk`, scale-safe shuffle.
+
+    Scoring is the same JVM Column expression (quantized-int cosine).
+    The partial stage keeps, per partition, only the top-k rows per
+    query under the final total order (cos desc, vec_id asc) — any row
+    outside a partition's top-k cannot be in the global top-k, so the
+    prune is lossless.  The stage is comparisons-only (no float
+    arithmetic in Python), so the surviving cos values are the exact
+    JVM doubles.  The global window then ranks ≤ parts×|Q|×k rows
+    instead of |Q|×|corpus|."""
+    q = embeddings.select(
+        F.col("vec_id").alias("q"), quantize(F.col("embedding")).alias("eq")
+    ).where(F.col("q") < max_query_id)
+    t = embeddings.select(
+        F.col("vec_id").alias("vec_id"), quantize(F.col("embedding")).alias("et")
+    )
+    scored = (
+        F.broadcast(q).crossJoin(t)
+        .where(F.col("q") != F.col("vec_id"))
+        .withColumn("cos", _cos(F.col("eq"), F.col("et")))
+        .select("q", "vec_id", "cos")
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = None
+        for pdf in batches:
+            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            # prune per batch so partition state stays O(|Q|·k)
+            buf = (
+                buf.sort_values(["q", "cos", "vec_id"],
+                                ascending=[True, False, True], kind="mergesort")
+                .groupby("q", sort=False).head(k)
+            )
+        if buf is not None:
+            yield buf
+
+    reduced = scored.mapInPandas(partial_topk, schema="q bigint, vec_id bigint, cos double")
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q", "rank", "vec_id", "cos")
     )
