@@ -493,10 +493,11 @@ def _q_builtin_string(spark, sf_dir):
         (("?src", "/", "?lang"), STR + "concatenation", "?cat"),
         (("?text", "^(\\w+)"), STR + "scrape", "?w1"),
         (("?src", "src", "origin-"), STR + "replace", "?src2"),
+        (("doc %s in %s", "?src", "?lang"), STR + "format", "?fmt"),
         (("?w1", "<http://www.w3.org/2001/XMLSchema#string>"), LOG + "dtlit", "?typed"),
         (("?w1", "?lang"), LOG + "langlit", "?tagged"),
     ])
-    return sol.select("doc_id", "cat", "w1", "src2", "typed", "tagged")
+    return sol.select("doc_id", "cat", "w1", "src2", "fmt", "typed", "tagged")
 
 
 def _q_builtin_time(spark, sf_dir):
@@ -908,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
                    source || '/' || lang AS cat,
                    regexp_extract(text, '^(\\w+)', 1) AS w1,
                    replace(source, 'src', 'origin-') AS src2,
+                   printf('doc %s in %s', source, lang) AS fmt,
                    '"' || regexp_extract(text, '^(\\w+)', 1)
                        || '"^^<http://www.w3.org/2001/XMLSchema#string>' AS typed,
                    '"' || regexp_extract(text, '^(\\w+)', 1) || '"@' || lang AS tagged

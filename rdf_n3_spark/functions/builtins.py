@@ -169,7 +169,10 @@ _reg(
 )
 _reg(MATH + "exponentiation", "compute_list", _numeric_op(lambda a, b: a ** b))
 _reg(MATH + "integerQuotient", "compute_list", _numeric_op(lambda a, b: int(a // b)))
-_reg(MATH + "negation", "compute", _numeric_op(lambda a: -a))
+# negation is self-inverse: object-ground + subject-var binds the
+# subject with the same computation (resource_operator.rb:45-47)
+_reg(MATH + "negation", "compute_invertible",
+     (_numeric_op(lambda a: -a), _numeric_op(lambda a: -a)))
 _reg(MATH + "absoluteValue", "compute", _numeric_op(abs))
 # half-away-from-zero (Ruby Float#round semantics, math/rounded.rb)
 _reg(MATH + "rounded", "compute",
@@ -177,8 +180,15 @@ _reg(MATH + "rounded", "compute",
          _math.floor(abs(float(as_number(t))) + 0.5), float(as_number(t))))))
 _reg(MATH + "ceiling", "compute", lambda t: enc_int(_math.ceil(float(as_number(t)))))
 _reg(MATH + "floor", "compute", lambda t: enc_int(_math.floor(float(as_number(t)))))
-for _n in ("sin", "cos", "tan", "sinh", "cosh", "tanh", "asin", "acos", "atan", "asinh", "acosh", "atanh"):
-    _reg(MATH + _n, "compute", _float_fn(getattr(_math, _n)))
+# the trig/hyperbolic family is invertible in BOTH directions: the
+# reference's object-variable branch computes the inverse function
+# (resource_operator.rb:45-47; e.g. math/sin.rb binds subject=asin(obj))
+for _fwd, _inv in (("sin", "asin"), ("cos", "acos"), ("tan", "atan"),
+                   ("sinh", "asinh"), ("cosh", "acosh"), ("tanh", "atanh")):
+    _reg(MATH + _fwd, "compute_invertible",
+         (_float_fn(getattr(_math, _fwd)), _float_fn(getattr(_math, _inv))))
+    _reg(MATH + _inv, "compute_invertible",
+         (_float_fn(getattr(_math, _inv)), _float_fn(getattr(_math, _fwd))))
 _reg(MATH + "equalTo", "test", _numeric_test(lambda a, b: a == b))
 _reg(MATH + "notEqualTo", "test", _numeric_test(lambda a, b: a != b))
 _reg(MATH + "greaterThan", "test", _numeric_test(lambda a, b: a > b))

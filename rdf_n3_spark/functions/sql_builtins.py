@@ -33,8 +33,10 @@ like the reference's rank loop (formula.rb:163-185, builtin.rb:15-19).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
 
@@ -141,6 +143,38 @@ _reg(STR + "replace", "compute_list",
 _reg(STR + "scrape", "compute_pair",
      lambda a, pat: F.regexp_extract(as_str(a), pat, 1), raw_args=(1,))
 
+
+_FORMAT_UDF = None
+
+
+def _format_column(arr: Column) -> Column:
+    """string:format (str/format.rb:12-15): Python %-interpolation of
+    elements 1.. into element 0.  The % mini-language has no Column
+    equivalent, so this is the one string op that runs as an
+    Arrow-batched pandas UDF — decode happens JVM-side first, the UDF
+    does only the interpolation.  Built lazily: pandas_udf needs an
+    active session to parse its return-type DDL."""
+    global _FORMAT_UDF
+    if _FORMAT_UDF is None:
+
+        @pandas_udf("string")
+        def _fmt(args: pd.Series) -> pd.Series:
+            def run(xs):
+                if xs is None or len(xs) == 0 or xs[0] is None:
+                    return None
+                try:
+                    return xs[0] % tuple(xs[1:])
+                except (TypeError, ValueError):
+                    return None
+
+            return args.map(run)
+
+        _FORMAT_UDF = _fmt
+    return _FORMAT_UDF(F.transform(arr, as_str))
+
+
+_reg(STR + "format", "compute_list", _format_column)
+
 # --- time (SURVEY §2.8 table 3) — validity is a REGEX ON THE LEXICAL
 # FORM (time/hour.rb:29-32 etc.), so components extract from the string,
 # never from a parsed timestamp.
@@ -203,12 +237,19 @@ _reg(LOG + "langlit", "compute_pair",
 
 SQL_INVERSES: dict[str, object] = {
     MATH + "negation": _n(lambda o: -o),            # self-inverse
-    MATH + "sin": _n(F.asin),                        # math/sin.rb object-var branch family
+    # math/sin.rb object-var branch family — both directions
+    MATH + "sin": _n(F.asin),
     MATH + "cos": _n(F.acos),
     MATH + "tan": _n(F.atan),
     MATH + "sinh": _n(F.asinh),
     MATH + "cosh": _n(F.acosh),
     MATH + "tanh": _n(F.atanh),
+    MATH + "asin": _n(F.sin),
+    MATH + "acos": _n(F.cos),
+    MATH + "atan": _n(F.tan),
+    MATH + "asinh": _n(F.sinh),
+    MATH + "acosh": _n(F.cosh),
+    MATH + "atanh": _n(F.tanh),
     # epoch seconds → dateTime lexical (time/in_seconds.rb:17-41 object branch)
     TIME + "inSeconds": lambda o: F.date_format(
         F.to_timestamp(as_num(o).cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"

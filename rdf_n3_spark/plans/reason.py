@@ -42,6 +42,22 @@ LOG_IMPLIES = f"<{LOG}implies>"
 Quad = tuple  # (s, p, o, g) — terms are str or ("L", tuple)
 
 
+def _file_uri_path(iri: str, base: str = "") -> str | None:
+    """Local filesystem path for a file: (or relative-against-file-base)
+    IRI; None for any other scheme — the engine's dereference boundary
+    for log:content / log:semantics."""
+    from urllib.parse import unquote, urljoin, urlparse
+
+    if base and ":" not in iri.split("/", 1)[0]:
+        iri = urljoin(base, iri)
+    u = urlparse(iri)
+    if u.scheme == "file":
+        return unquote(u.path)
+    if u.scheme == "" and iri.startswith("/"):
+        return iri
+    return None
+
+
 def _is_var(t) -> bool:
     return isinstance(t, str) and t.startswith("?")
 
@@ -547,7 +563,35 @@ class Reasoner:
             # nested rule statement inside an antecedent: match as a
             # plain pattern (rare); treat as unsupported here
             return None
-        return None  # content/semantics/supports: out of scope (parity)
+        if name in ("content", "semantics"):
+            # Dereference the subject resource (log/content.rb:19-32,
+            # log/semantics.rb:19-38).  The reference opens the IRI via
+            # RDF::Util::File (local files or network); this engine
+            # dereferences FILE URIs only — no network in a distributed
+            # job — and treats other schemes as unresolvable.
+            if not (isinstance(sv, str) and sv.startswith("<")):
+                return None
+            iri = _iri(sv)
+            path = _file_uri_path(iri, self.base)
+            if path is None:
+                return None
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    text = fh.read()
+            except OSError:
+                return []  # dereference failure → no solution (content.rb:24-27)
+            if name == "content":
+                return self._bind_or_compare(ov, B.enc_string(text), sol)
+            # semantics: parse with base_uri = the resource itself
+            # (semantics.rb:26) and bind the resulting formula node
+            parsed = fold_lists(parse_n3(text, base_uri=iri))
+            triples = {(s, p, o) for s, p, o, g in parsed if g == ""}
+            node = self._materialize_formula("sem", triples)
+            for s, p, o, g in parsed:
+                if g != "":
+                    self.kb.add((s, p, o, g))
+            return self._bind_or_compare(ov, node, sol)
+        return None  # supports: NotImplemented in the reference too (algebra.rb:142)
 
     def _unify_multi(self, pat, val, sol) -> list[dict]:
         """Unification that supports quoted-formula terms: a formula in

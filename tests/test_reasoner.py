@@ -122,3 +122,61 @@ def test_fixpoint_transitive_closure():
         ":a :anc :b . :b :anc :c . :c :anc :d ."
     )).execute(think=True)
     assert ('<http://ex/a>', '<http://ex/anc>', '<http://ex/d>', '') in r.inferred
+
+
+def test_builtin_trig_backward():
+    """Object-position ground value + subject variable → inverse bind
+    (resource_operator.rb:45-47; math/sin.rb object-var branch)."""
+    import math
+
+    r = Reasoner(parse_n3(
+        "@prefix m: <http://www.w3.org/2000/10/swap/math#>. @prefix : <http://ex/>."
+        "{ ?x m:sin 0.5 } => { :r :asin ?x } ."
+        "{ ?y m:cosh 1.0 } => { :r :acosh ?y } ."
+    )).execute()
+    by_pred = {q[1]: q[2] for q in r.inferred}
+    assert f'"{math.asin(0.5)}"' in by_pred['<http://ex/asin>']
+    assert f'"{math.acosh(1.0)}"' in by_pred['<http://ex/acosh>']
+
+
+def test_builtin_trig_backward_domain_error_filters():
+    """Inverse outside the domain (asin of 2) → no solution, not a crash."""
+    r = Reasoner(parse_n3(
+        "@prefix m: <http://www.w3.org/2000/10/swap/math#>. @prefix : <http://ex/>."
+        "{ ?x m:sin 2.0 } => { :r :is :FAILURE } ."
+    )).execute()
+    assert not r.inferred
+
+
+def test_log_content_file_uri(tmp_path):
+    """log:content dereferences a file URI into its text
+    (log/content.rb:19-32; file scheme only in this engine)."""
+    doc = tmp_path / "doc.txt"
+    doc.write_text("hello graph")
+    r = Reasoner(parse_n3(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        f"{{ <file://{doc}> log:content ?c }} => {{ :r :text ?c }} ."
+    )).execute()
+    assert ('<http://ex/r>', '<http://ex/text>', '"hello graph"', '') in r.inferred
+
+
+def test_log_semantics_file_uri(tmp_path):
+    """log:semantics parses the dereferenced document into a formula
+    queryable with log:includes (log/semantics.rb:19-38)."""
+    doc = tmp_path / "doc.n3"
+    doc.write_text("@prefix : <http://ex/> . :a :knows :b .")
+    r = Reasoner(parse_n3(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        f"{{ <file://{doc}> log:semantics ?f . "
+        "  ?f log:includes { ?s :knows :b } } => { ?s a :Knower } ."
+    )).execute()
+    assert ('<http://ex/a>', '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+            '<http://ex/Knower>', '') in r.inferred
+
+
+def test_log_semantics_missing_file_no_solution(tmp_path):
+    r = Reasoner(parse_n3(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        f"{{ <file://{tmp_path}/absent.n3> log:semantics ?f }} => {{ :r :is :FAILURE }} ."
+    )).execute()
+    assert not r.inferred

@@ -24,7 +24,7 @@ def test_registry_covers_survey_vocabularies():
         STR + "concatenation", STR + "contains", STR + "containsIgnoringCase",
         STR + "startsWith", STR + "endsWith", STR + "equalIgnoringCase",
         STR + "greaterThan", STR + "matches", STR + "notMatches",
-        STR + "replace", STR + "scrape",
+        STR + "replace", STR + "scrape", STR + "format",
         TIME + "year", TIME + "month", TIME + "day", TIME + "hour",
         TIME + "minute", TIME + "second", TIME + "dayOfWeek",
         TIME + "timeZone", TIME + "inSeconds",
@@ -108,6 +108,37 @@ def test_backward_inverse_mode(spark):
     ]).collect()[0]
     assert out["x"] == -5.0
     assert out["t"] == "2023-11-14T22:13:20Z"
+
+
+def test_backward_trig_both_directions(spark):
+    """math:sin with ground OBJECT binds the subject via asin, and
+    math:asin inverts via sin — in the distributed layer AND the
+    driver registry (math/sin.rb object-var branch)."""
+    import math
+
+    df = spark.createDataFrame([("row",)], ["k"])
+    out = apply_builtins(df, [
+        ("?x", MATH + "sin", "0.5"),
+        ("?y", MATH + "asin", "0.5"),
+    ]).collect()[0]
+    assert abs(out["x"] - math.asin(0.5)) < 1e-12
+    assert abs(out["y"] - math.sin(0.5)) < 1e-12
+
+    from rdf_n3_spark.functions.builtins import REGISTRY
+
+    mode, (fwd, inv) = REGISTRY[MATH + "sin"]
+    assert mode == "compute_invertible"
+    assert f'"{math.asin(0.5)}"' in inv("0.5")
+
+
+def test_string_format_distributed(spark):
+    """string:format — Python % semantics via an Arrow-batched pandas
+    UDF twin of the driver registry (str/format.rb:12-15)."""
+    df = spark.createDataFrame([("en", "web")], ["lang", "src"])
+    out = apply_builtins(df, [
+        (("doc %s in %s", "?src", "?lang"), STR + "format", "?f"),
+    ]).collect()[0]
+    assert out["f"] == "doc web in en"
 
 
 def test_dtlit_langlit(spark):
