@@ -449,6 +449,14 @@ def _q_rule_closure(spark, sf_dir):
     return fixpoint(_feeds_edges(spark, sf_dir), [_TRANS_RULE]).select("s", "p", "o")
 
 
+def _q_rule_conclusions(spark, sf_dir):
+    """Inferred-only projection of the closure — log:conclusion's
+    conclusions() view (reasoner.rb:226-233): closure minus base."""
+    from rdf_n3_spark.plans.bgp import conclusions
+
+    return conclusions(fixpoint(_feeds_edges(spark, sf_dir), [_TRANS_RULE]))
+
+
 def _q_builtin_math(spark, sf_dir):
     """SURVEY §2.8 math vocabulary as Column expressions: pair/list
     computes chained through the rank scheduler, comparison as filter."""
@@ -729,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_solutions": _q_bgp_solutions,
         "rule_infer": _q_rule_infer,
         "rule_closure": _q_rule_closure,
+        "rule_conclusions": _q_rule_conclusions,
         "rule_builtin_infer": _q_rule_builtin,
         "graph_closure": _q_graph_closure,
         "entity_agg_salted": _q_salted_count,
@@ -847,6 +856,26 @@ def oracle_sql() -> dict[str, str]:
                    ':feeds' AS p,
                    'ent:supp_' || CAST(kb AS VARCHAR) AS o
             FROM reach
+        """,
+        "rule_conclusions": f"""
+            {_MENTIONS},
+            supps AS (
+              SELECT DISTINCT CAST(substr(norm, 6) AS BIGINT) AS k
+              FROM mentions WHERE regexp_matches(norm, '^supp_[0-9]+$')
+            ),
+            feeds AS (
+              SELECT a.k AS ka, b.k AS kb
+              FROM supps a JOIN supps b ON b.k = a.k * 2
+            ),
+            reach AS (
+              SELECT ka, kb FROM feeds
+              UNION
+              SELECT r.ka, f.kb FROM reach r JOIN feeds f ON f.ka = r.kb
+            )
+            SELECT 'ent:supp_' || CAST(ka AS VARCHAR) AS s,
+                   ':feeds' AS p,
+                   'ent:supp_' || CAST(kb AS VARCHAR) AS o
+            FROM (SELECT ka, kb FROM reach EXCEPT SELECT ka, kb FROM feeds)
         """,
         "rule_builtin_infer": f"""
             {_TRIPLES}

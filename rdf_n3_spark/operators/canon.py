@@ -120,12 +120,16 @@ def verified_pairs(surfaces: DataFrame, col: str = "surface",
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """(a, b) undirected edges → (node, comp) with comp = min node id
-    reachable. Iterative min-label propagation; each round is one
-    shuffle (groupBy node); ``localCheckpoint`` truncates lineage so the
-    plan stays flat at any scale. Converges in graph-diameter rounds —
-    surface-form clusters are shallow (diameter ≤ ~4), so this beats
-    the extra passes of large-star/small-star here; swap in star-
-    contraction if a deployment sees deep chains."""
+    reachable. Iterative min-label propagation WITH pointer-jumping:
+    each round (a) takes the min over neighbors' labels, then (b)
+    shortcuts every label through its own label (comp ← comp[comp]),
+    so label paths halve per round and convergence is O(log diameter)
+    — a 2^25-hop chain converges inside the default max_iter, where
+    plain neighbor propagation needs diameter rounds and would return
+    UNCONVERGED labels silently on a deep chain
+    (tests/test_canon_components.py stresses exactly that).  Each round
+    is two shuffles (neighbor groupBy-min + label self-join);
+    ``localCheckpoint`` truncates lineage so the plan stays flat."""
     sym = (
         edges.select("a", "b")
         .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -148,7 +152,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .union(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+            # checkpoint BEFORE the self-join below: truncating here
+            # both flattens lineage and sidesteps Catalyst's
+            # Union-constraint rewrite on self-joined union plans
+            .localCheckpoint()
+        )
+        # pointer-jump: follow the label one step (comp is itself a
+        # node id, so map it through the fresh labels) — this is the
+        # path-halving that turns O(diameter) into O(log diameter)
+        new = (
+            new.alias("x")
+            .join(new.select(F.col("node").alias("comp"),
+                             F.col("comp").alias("jcomp")).alias("y"), "comp", "left")
+            .select("node", F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
