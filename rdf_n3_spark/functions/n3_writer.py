@@ -4,10 +4,13 @@ Fresh implementation of the writer behaviors documented in SURVEY.md
 §2.9 / §3.3 (reference lib/rdf/n3/writer.rb — behavior only): prefix
 compaction by longest registered namespace, predicate sugar
 (rdf:type → ``a``, owl:sameAs → ``=``, log:implies → ``=>``),
-collection rendering for well-formed first/rest ladders, bnode
-property lists for single-reference bnodes, formula rendering for
-quoted graphs, subject ordering (IRIs before bnodes, then
-lexicographic).
+collection rendering for well-formed first/rest ladders,
+``[ ... ]`` blankNodePropertyList inlining for single-reference
+bnodes (writer.rb:604-623), formula rendering for quoted graphs,
+reference subject ordering (base → rdfs:Class-typed → formulae →
+(bnode-ness, ref-count, id); writer.rb:372-413), the
+predicate-precedence list (writer.rb:356-366), and relative-IRI
+output against the base (writer.rb:314-318).
 
 Needed for ``log:n3String`` parity and debugging; the judged output of
 the engine is the triple *set*, so this stays a small driver-side /
@@ -29,6 +32,20 @@ from rdf_n3_spark.functions.n3_parser import (
 
 OWL_SAME = "<http://www.w3.org/2002/07/owl#sameAs>"
 LOG_IMPLIES = "<http://www.w3.org/2000/10/swap/log#implies>"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_CLASS = f"<{RDFS}Class>"
+
+#: predicate precedence at the head of a resource description
+#: (writer.rb:356-366 predicate_order)
+PREDICATE_ORDER = [
+    RDF_TYPE,
+    f"<{RDFS}label>",
+    f"<{RDFS}comment>",
+    "<http://purl.org/dc/terms/title>",
+    "<http://purl.org/dc/terms/description>",
+    OWL_SAME,
+    LOG_IMPLIES,
+]
 
 DEFAULT_PREFIXES = {
     "rdf": RDF,
@@ -105,10 +122,40 @@ class N3Writer:
             return t
         return str(t)
 
+    def _relativize(self, iri: str) -> str | None:
+        """Relative reference of ``iri`` against the base (writer.rb:315
+        ``uri.relativize(base_uri)`` behavior): same scheme+authority
+        required; then suffix-of-base, fragment/query-only, or
+        same-directory forms. None when no shortening exists."""
+        base = self.base
+        if not base:
+            return None
+        if iri == base:
+            return ""
+        from urllib.parse import urlparse
+
+        u, b = urlparse(iri), urlparse(base)
+        if u.scheme != b.scheme or u.netloc != b.netloc:
+            return None
+        if iri.startswith(base):
+            rest = iri[len(base):]
+            if base.endswith(("/", "#")) or rest.startswith(("#", "?")):
+                return rest
+        bdir = base.rsplit("/", 1)[0] + "/"
+        if "/" in b.path and iri.startswith(bdir) and iri != bdir:
+            rest = iri[len(bdir):]
+            if rest and "/" not in rest:
+                return rest
+        return None
+
     def _pname_or_iri(self, t: str) -> str:
         if t == RDF_NIL:
             return "()"
         iri = t[1:-1]
+        # relativization wins over pnames (writer.rb:314-318)
+        rel = self._relativize(iri)
+        if rel is not None:
+            return f"<{rel}>"
         best = ""
         best_pfx = None
         for pfx, ns in self.prefixes.items():
@@ -119,9 +166,6 @@ class N3Writer:
         if best_pfx is not None:
             self._used_prefixes.add(best_pfx)
             return f"{best_pfx}:{iri[len(best):]}"
-        if self.base and iri.startswith(self.base):
-            rel = iri[len(self.base):]
-            return f"<{rel}>"
         return t
 
     def _literal(self, t: str) -> str:
@@ -165,27 +209,114 @@ class N3Writer:
         return "{ " + inner.strip() + " }" if inner.strip() else "{ }"
 
     # ---- statement layout
+
+    def _sorted_properties(self, keys) -> list:
+        """predicate_order precedence then lexical (writer.rb:248-263,
+        356-366)."""
+        out = [p for p in PREDICATE_ORDER if p in keys]
+        out += [p for p in sorted(keys, key=str) if p not in out]
+        return out
+
+    def _order_subjects(self, by_subj: dict, graph_refs: dict) -> list:
+        """Reference subject order (writer.rb:372-413): base IRI first,
+        then rdfs:Class-typed subjects, then formula subjects, then the
+        rest sorted by (bnode-ness, ref count, id)."""
+        seen: set = set()
+        ordered = []
+
+        def take(s):
+            if s in by_subj and s not in seen:
+                seen.add(s)
+                ordered.append(s)
+
+        if self.base:
+            take(f"<{self.base}>")
+        class_subjects = sorted(
+            s for s, pos in by_subj.items()
+            if any(p == RDF_TYPE and o == RDFS_CLASS for p, o in pos)
+        )
+        for s in class_subjects:
+            take(s)
+        for s in sorted(by_subj):
+            if isinstance(s, str) and s in self._by_graph and s.startswith("_:"):
+                take(s)  # formula subjects
+        rest = sorted(
+            (1 if (isinstance(s, str) and s.startswith("_:")) else 0,
+             graph_refs.get(s, 0), str(s), s)
+            for s in by_subj if s not in seen
+        )
+        ordered.extend(r[3] for r in rest)
+        return ordered
+
+    def _bnpl_body(self, node, g: str, by_subj: dict, inlinable: set,
+                   stack: set) -> str:
+        """``[ p1 o1 ; p2 o2 ]`` property-list body for an inlined
+        bnode (writer.rb:604-623 blankNodePropertyList)."""
+        pos = by_subj.get(node, [])
+        parts = [
+            f"{self._verb(p, g)} "
+            f"{self._render_object(o, g, by_subj, inlinable, stack)}"
+            for p, o in self._iter_props(pos)
+        ]
+        return "[ " + " ; ".join(parts) + " ]" if parts else "[]"
+
+    def _iter_props(self, pos):
+        by_pred: dict = defaultdict(list)
+        for p, o in pos:
+            by_pred[p].append(o)
+        for p in self._sorted_properties(by_pred):
+            for o in sorted(by_pred[p], key=str):
+                yield p, o
+
+    def _render_object(self, o, g: str, by_subj: dict, inlinable: set,
+                       stack: set):
+        if o in inlinable and o not in stack:
+            return self._bnpl_body(o, g, by_subj, inlinable, stack | {o})
+        return self.term(o, g)
+
     def _graph_body(self, g: str, indent: str = "") -> str:
         triples = self._by_graph.get(g, [])
-        # skip triples consumed by list rendering
+        # skip triples consumed by list rendering (rest-map indexed —
+        # one pass, not an O(triples) scan per ladder cell)
+        rest_map = {s: o for s, p, o in triples if p == RDF_REST}
         cells = set()
         for (gg, node), elems in self._lists.items():
             if gg != g:
                 continue
             cur = node
-            while cur != RDF_NIL and isinstance(cur, str):
+            while cur != RDF_NIL and isinstance(cur, str) and cur not in cells:
                 cells.add(cur)
-                nxt = [o for s, p, o in triples if s == cur and p == RDF_REST]
-                cur = nxt[0] if nxt else RDF_NIL
+                cur = rest_map.get(cur, RDF_NIL)
         by_subj: dict[str, list] = defaultdict(list)
+        graph_refs: dict = defaultdict(int)
         for s, p, o in triples:
             if isinstance(s, str) and s in cells and p in (RDF_FIRST, RDF_REST):
                 continue
             by_subj[s].append((p, o))
+            if isinstance(o, str) and o.startswith("_:"):
+                graph_refs[o] += 1
 
-        def subj_rank(s):
-            is_bnode = isinstance(s, str) and s.startswith("_:")
-            return (1 if is_bnode else 0, str(s))
+        # bnodes render inline as [ ... ] when their ONE reference is in
+        # this graph and they are neither lists nor formulae
+        # (writer.rb:604-612 blankNodePropertyList? ref_count==1)
+        inlinable = {
+            o for o, n in graph_refs.items()
+            if n == 1 and self._ref_count[o] == 1 and (g, o) not in self._lists
+            and o not in self._by_graph and o not in cells
+        }
+        # a pure bnode cycle (A→B→A, no outside reference) must NOT be
+        # inlined — no emitted subject would ever reach it and its
+        # triples would be lost; restrict to nodes reachable from a
+        # non-inlined subject
+        reachable: set = set()
+        frontier = [s for s in by_subj if s not in inlinable]
+        while frontier:
+            s = frontier.pop()
+            for _, o in by_subj.get(s, []):
+                if o in inlinable and o not in reachable:
+                    reachable.add(o)
+                    frontier.append(o)
+        inlinable &= reachable
 
         out = []
         # orphan lists (subject-only statements like `( "1" ) .`):
@@ -199,19 +330,33 @@ class N3Writer:
             if gg == g:
                 referenced.update(e for e in elems if isinstance(e, str))
         # any rest-target is an interior suffix of some rendered ladder
-        rest_targets = {o for s, p, o in triples if p == RDF_REST}
+        rest_targets = set(rest_map.values())
         for (gg, head) in sorted(self._lists):
             if gg == g and head not in referenced and head not in rest_targets:
                 out.append(f"{indent}{self.term(head, g)} .")
-        for s in sorted(by_subj, key=subj_rank):
+        for s in self._order_subjects(by_subj, graph_refs):
+            if s in inlinable:
+                continue  # rendered inline at its unique reference site
             pos = by_subj[s]
-            pos.sort(key=lambda po: (0 if po[0] == RDF_TYPE else 1, str(po)))
-            parts = []
-            for p, o in pos:
-                parts.append(f"{self._verb(p, g)} {self.term(o, g)}")
-            out.append(f"{indent}{self.term(s, g)} " + " ;\n".join(
-                [parts[0]] + [f"{indent}    {x}" for x in parts[1:]]
-            ) + " .")
+            subject_bnpl = (
+                isinstance(s, str) and s.startswith("_:")
+                and graph_refs.get(s, 0) == 0 and self._ref_count[s] == 0
+                and (g, s) not in self._lists and s not in self._by_graph
+            )
+            parts = [
+                f"{self._verb(p, g)} "
+                f"{self._render_object(o, g, by_subj, inlinable, {s})}"
+                for p, o in self._iter_props(pos)
+            ]
+            if subject_bnpl:
+                # zero-reference bnode subject → [ ... ] . (writer.rb:620)
+                out.append(f"{indent}[ " + " ;\n".join(
+                    [parts[0]] + [f"{indent}    {x}" for x in parts[1:]]
+                ) + " ] .")
+            else:
+                out.append(f"{indent}{self.term(s, g)} " + " ;\n".join(
+                    [parts[0]] + [f"{indent}    {x}" for x in parts[1:]]
+                ) + " .")
         return "\n".join(out)
 
     def serialize(self) -> str:

@@ -58,3 +58,71 @@ def test_log_n3string_builtin():
     )).execute()
     vals = [q[2] for q in r.inferred if q[1] == "<http://ex/text>"]
     assert len(vals) == 1 and "ex/b" in vals[0]
+
+
+def test_bnode_property_list_inlining():
+    """A bnode object referenced exactly once renders as [ ... ]
+    (writer.rb:604-623 blankNodePropertyList)."""
+    q = parse_n3("@prefix : <http://ex/>. :a :p [ :q :r ; :s :t ] .")
+    txt = serialize_n3(q, prefixes={"": "http://ex/"})
+    assert "[ " in txt and " ]" in txt
+    assert "_:" not in txt  # no labeled bnode needed
+    assert isomorphic(q, parse_n3(txt))
+
+
+def test_bnode_subject_property_list():
+    """A never-referenced bnode subject renders as [ ... ] .
+    (writer.rb:620 subject-position branch)."""
+    q = parse_n3("@prefix : <http://ex/>. [ :p :o ; :q :r ] .")
+    txt = serialize_n3(q, prefixes={"": "http://ex/"})
+    body = txt.split("\n\n", 1)[1]
+    assert body.startswith("[ ") and " ] ." in body.replace("\n", " ")
+    assert "_:" not in txt
+    assert isomorphic(q, parse_n3(txt))
+
+
+def test_bnode_cycle_not_lost():
+    """A pure bnode cycle cannot inline — both nodes keep labels and no
+    triple is dropped."""
+    q = [("_:a", "<http://ex/p>", "_:b", ""), ("_:b", "<http://ex/p>", "_:a", "")]
+    txt = serialize_n3(q)
+    assert isomorphic(q, parse_n3(txt))
+
+
+def test_predicate_order_precedence():
+    """rdf:type then rdfs:label head the description (writer.rb:356-366),
+    remaining predicates lexical."""
+    q = parse_n3(
+        "@prefix : <http://ex/>. @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#>."
+        ':a :zzz :z ; rdfs:label "L" ; :aaa :b ; a :T .'
+    )
+    txt = serialize_n3(q, prefixes={"": "http://ex/",
+                                    "rdfs": "http://www.w3.org/2000/01/rdf-schema#"})
+    body = txt[txt.index(":a "):]
+    assert body.index(" a ") < body.index("rdfs:label")
+    assert body.index("rdfs:label") < body.index(":aaa")
+    assert body.index(":aaa") < body.index(":zzz")
+
+
+def test_subject_order_classes_first():
+    """rdfs:Class-typed subjects come before other subjects
+    (writer.rb:383-390 top_classes)."""
+    q = parse_n3(
+        "@prefix : <http://ex/>. @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#>."
+        ":aaa :p :o . :zzz a rdfs:Class ."
+    )
+    txt = serialize_n3(q, prefixes={"": "http://ex/",
+                                    "rdfs": "http://www.w3.org/2000/01/rdf-schema#"})
+    assert txt.index(":zzz") < txt.index(":aaa")
+
+
+def test_relative_iri_output():
+    """IRIs relativize against the base (writer.rb:314-318): fragment
+    and same-directory forms."""
+    q = parse_n3(
+        "<http://ex.org/dir/doc.n3#s> <http://ex.org/dir/other> <http://other.org/x> .",
+    )
+    txt = serialize_n3(q, base_uri="http://ex.org/dir/doc.n3")
+    assert "<#s>" in txt
+    assert "<other>" in txt
+    assert "<http://other.org/x>" in txt  # different authority: absolute
