@@ -281,6 +281,31 @@ def _in_seconds_inverse(t):
 
 _reg(TIME + "inSeconds", "compute_invertible", (_in_seconds, _in_seconds_inverse))
 
+
+def _now_utc() -> datetime:
+    """Clock hook — tests monkeypatch this for determinism."""
+    return datetime.now(timezone.utc)
+
+
+def _strftime_ruby(fmt: str, dt: datetime) -> str:
+    """Ruby strftime subset: empty format → '%FT%T%:z' (gm_time.rb:21),
+    and the '%:z' colon-offset directive Python lacks."""
+    if fmt == "":
+        fmt = "%FT%T%:z"
+    off = dt.strftime("%z")
+    fmt = fmt.replace("%:z", f"{off[:3]}:{off[3:]}" if off else "")
+    return dt.strftime(fmt)
+
+
+# subject = format string, value = current processing time formatted
+# (time/gm_time.rb:17-27, local_time.rb:17-27). Non-deterministic by
+# nature — the reference's tests don't assert values, and neither does
+# the oracle gate; covered by pytest shape checks.
+_reg(TIME + "gmTime", "compute",
+     lambda t: enc_string(_strftime_ruby(as_string(t), _now_utc())))
+_reg(TIME + "localTime", "compute",
+     lambda t: enc_string(_strftime_ruby(as_string(t), _now_utc().astimezone())))
+
 # --- log equality (same-term, not value-equality; log/equal_to.rb:30-32)
 _reg(LOG + "equalTo", "test", lambda a, b: a == b)
 _reg(LOG + "notEqualTo", "test", lambda a, b: a != b)

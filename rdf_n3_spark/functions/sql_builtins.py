@@ -208,6 +208,50 @@ _reg(TIME + "timeZone", "compute",
 _reg(TIME + "inSeconds", "compute",
      lambda c: F.unix_timestamp(F.to_timestamp(lex(c))))
 
+#: strftime directive → Spark datetime-pattern fragment (the subset the
+#: reference's fixtures use; gm_time.rb formats via Ruby strftime)
+_STRFTIME_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss", "j": "DDD",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "z": "xx", ":z": "xxx",
+    "p": "a", "A": "EEEE", "a": "EEE", "B": "MMMM", "b": "MMM",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """strftime format string → Spark/Java datetime pattern; literal
+    letters are quoted so date_format doesn't interpret them."""
+    if fmt == "":
+        fmt = "%FT%T%:z"
+    out, i = [], 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            key = fmt[i + 1:i + 3] if fmt[i + 1] == ":" else fmt[i + 1]
+            if key == "%":
+                out.append("%")
+            elif key in _STRFTIME_JAVA:
+                out.append(_STRFTIME_JAVA[key])
+            else:
+                raise ValueError(f"unsupported strftime directive %{key}")
+            i += 1 + len(key)
+        else:
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
+# current processing time formatted per the (constant) subject format —
+# F.current_timestamp() is fixed per query, so one job gets one time.
+# Session TZ is pinned UTC, so gmTime ≡ localTime here (documented);
+# date_format needs a foldable pattern → subject must be ground.
+_reg(TIME + "gmTime", "compute",
+     lambda fmt: F.date_format(F.current_timestamp(), _strftime_to_java(fmt)),
+     raw_args=(0,))
+_reg(TIME + "localTime", "compute",
+     lambda fmt: F.date_format(F.current_timestamp(), _strftime_to_java(fmt)),
+     raw_args=(0,))
+
 # --- list (SURVEY §2.8 table 4; list/*.rb)
 _reg(LIST + "first", "compute_list", lambda arr: F.element_at(arr, 1))
 _reg(LIST + "last", "compute_list", lambda arr: F.element_at(arr, -1))
@@ -345,7 +389,7 @@ def apply_builtins(sol: DataFrame, specs) -> DataFrame:
             else:  # compute / compute_pair / compute_list
                 val = (fn(*[res(x, i) for i, x in enumerate(subj)])
                        if mode == "compute_pair"
-                       else fn(_resolve(sol, subj)))
+                       else fn(res(subj, 0)))
                 if _is_var(obj) and obj[1:] not in sol.columns:
                     sol = sol.withColumn(obj[1:], val)
                 else:

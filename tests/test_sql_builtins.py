@@ -28,6 +28,7 @@ def test_registry_covers_survey_vocabularies():
         TIME + "year", TIME + "month", TIME + "day", TIME + "hour",
         TIME + "minute", TIME + "second", TIME + "dayOfWeek",
         TIME + "timeZone", TIME + "inSeconds",
+        TIME + "gmTime", TIME + "localTime",
         LIST + "first", LIST + "last", LIST + "length", LIST + "append",
         LIST + "member", LIST + "in", LIST + "iterate",
         LOG + "equalTo", LOG + "notEqualTo",
@@ -139,6 +140,35 @@ def test_string_format_distributed(spark):
         (("doc %s in %s", "?src", "?lang"), STR + "format", "?f"),
     ]).collect()[0]
     assert out["f"] == "doc web in en"
+
+
+def test_gm_time_distributed(spark):
+    """time:gmTime binds the (query-constant) processing time formatted
+    per the strftime subject (gm_time.rb:17-27); shape-checked — the
+    value is by nature non-deterministic."""
+    import re as _re
+
+    df = spark.createDataFrame([("row",)], ["k"])
+    out = apply_builtins(df, [
+        ("%Y", TIME + "gmTime", "?y"),
+        ("", TIME + "localTime", "?iso"),
+    ]).collect()[0]
+    assert _re.fullmatch(r"\d{4}", out["y"])
+    assert "T" in out["iso"] and _re.search(r"[+-]\d{2}:\d{2}$", out["iso"])
+
+
+def test_gm_time_driver(monkeypatch):
+    """Driver twin with a pinned clock: exact Ruby-strftime output,
+    including the %:z colon offset and the empty-format ISO default."""
+    from datetime import datetime, timezone
+
+    import rdf_n3_spark.functions.builtins as B
+
+    fixed = datetime(2024, 3, 7, 12, 30, 0, tzinfo=timezone.utc)
+    monkeypatch.setattr(B, "_now_utc", lambda: fixed)
+    _, fn = B.REGISTRY[TIME + "gmTime"]
+    assert fn('"%Y-%m-%d"') == '"2024-03-07"'
+    assert fn('""') == '"2024-03-07T12:30:00+00:00"'
 
 
 def test_dtlit_langlit(spark):
