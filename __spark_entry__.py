@@ -590,6 +590,32 @@ def _q_graph_includes(spark, sf_dir):
     return graph_includes(quads, [("?m", ":refersTo", "ent:part_hub")])
 
 
+def _mention_quads_with_turns(spark, sf_dir):
+    """Mention quads plus (mention, :atTurn, turn) triples — two
+    predicates so a multi-pattern includes has something to join."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    mid = F.concat(F.lit("m:"), "conv_id", F.lit("/"), F.col("turn_idx").cast("string"),
+                   F.lit("/"), F.col("pos").cast("string"))
+    g = F.concat(F.lit("conv:"), F.col("conv_id"))
+    refers = m.select(mid.alias("s"), F.lit(":refersTo").alias("p"),
+                      F.concat(F.lit("ent:"), F.col("norm")).alias("o"), g.alias("g"))
+    turns = m.select(mid.alias("s"), F.lit(":atTurn").alias("p"),
+                     F.col("turn_idx").cast("string").alias("o"), g.alias("g"))
+    return refers.unionByName(turns)
+
+
+def _q_graph_includes_join(spark, sf_dir):
+    """Multi-pattern log:includes with a SHARED variable: graphs where
+    the SAME mention refers to ent:part_hub AND sits at turn 0 — the
+    per-graph BGP join (includes.rb:57-58); independent per-pattern
+    containment would wrongly admit graphs where part_hub appears only
+    at later turns."""
+    quads = _mention_quads_with_turns(spark, sf_dir)
+    return graph_includes(
+        quads, [("?m", ":refersTo", "ent:part_hub"), ("?m", ":atTurn", "0")]
+    )
+
+
 def _q_graph_not_includes(spark, sf_dir):
     """log:notIncludes as the complementary anti-join."""
     quads = _mention_quads(spark, sf_dir)
@@ -747,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "builtin_time": _q_builtin_time,
         "builtin_list": _q_builtin_list,
         "graph_includes": _q_graph_includes,
+        "graph_includes_join": _q_graph_includes_join,
         "graph_not_includes": _q_graph_not_includes,
         "output_strings": _q_output_strings,
         "list_ladder": _q_list_ladder,
@@ -975,6 +1002,11 @@ def oracle_sql() -> dict[str, str]:
             {_MENTIONS}
             SELECT DISTINCT 'conv:' || conv_id AS g
             FROM mentions WHERE norm = 'part_hub'
+        """,
+        "graph_includes_join": f"""
+            {_MENTIONS}
+            SELECT DISTINCT 'conv:' || conv_id AS g
+            FROM mentions WHERE norm = 'part_hub' AND turn_idx = 0
         """,
         "graph_not_includes": f"""
             {_MENTIONS}
