@@ -1,0 +1,63 @@
+"""Physical-plan audits: the 100×-scale properties the operators claim
+(filters pushed to the parquet scan, hot paths inside whole-stage
+codegen with no Python eval nodes, no accidental cross-joins) asserted
+against `.explain` output, so a plan regression fails CI rather than
+surfacing as a 100 TB slowdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.dedup import embedding_neardup_pairs
+from rdf_n3_spark.operators.mentions import extract_mentions
+from rdf_n3_spark.operators.similarity import ivf_topk
+from rdf_n3_spark.operators.triples import entity_triples, mention_triples
+from rdf_n3_spark.sources.transcripts import transcripts
+from tests.conftest import SF_SMOKE
+
+PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kg_pipeline_is_all_jvm(spark):
+    """transcripts → mentions → triples: zero Python eval nodes — the
+    whole flagship pipeline is Column expressions under codegen."""
+    m = extract_mentions(transcripts(spark, SF_SMOKE))
+    plan = _plan(mention_triples(m).unionByName(entity_triples(m)))
+    assert not any(n in plan for n in PY_EVAL_NODES), plan
+    # skolemization stays in-plan (sha2 Column expr, not a UDF) and the
+    # only shuffles are the input window + the entity aggregation
+    assert "sha2" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_embedding_query_filter_pushed_to_scan(spark):
+    """The query-side vec_id bound must reach the parquet scan as a
+    pushed filter, not evaluate post-scan."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb, threshold=0.35, max_query_id=50))
+    assert "PushedFilters" in plan
+    assert "LessThan(vec_id,50)" in plan.replace(" ", "")
+
+
+def test_ivf_probe_is_equi_join(spark):
+    """IVF probes (single and multi) must plan as hash equi-joins on
+    the bucket key — never a cartesian product."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for hamming in (0, 1):
+        plan = _plan(ivf_topk(emb, hamming=hamming))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_mention_aggregation_has_partial_agg(spark):
+    """entity_triples' count per entity must map-side combine
+    (partial_count before the exchange) — the shape that survives the
+    hub-entity skew at scale."""
+    m = extract_mentions(transcripts(spark, SF_SMOKE))
+    plan = _plan(entity_triples(m))
+    assert "partial_count" in plan or "partial count" in plan.lower()
