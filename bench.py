@@ -91,7 +91,9 @@ def main() -> None:
 
     from rdf_n3_spark.session import get_spark
     from rdf_n3_spark.operators.canon import canonical_map
+    from rdf_n3_spark.operators.dedup import minhash_neardup_pairs
     from rdf_n3_spark.operators.mentions import extract_mentions
+    from rdf_n3_spark.operators.similarity import ivf_topk
     from rdf_n3_spark.operators.triples import entity_triples, mention_triples
     from rdf_n3_spark.sources.n3_source import parse_documents
 
@@ -129,10 +131,19 @@ def main() -> None:
     parse = sink(parse_documents(docs).where(F.col("ok")).select("doc_id", "s", "p", "o"))
     canon = sink(canonical_map(extract_mentions(transcripts_df)))
 
+    # training-data operators over the sf documents/embeddings tables
+    # (size-independent of MULT; evidence rows, not the headline)
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    minhash = sink(minhash_neardup_pairs(docs_tbl))
+    ann = sink(ivf_topk(embs_tbl, hamming=1).drop("cos"))
+
     per_query = {
         "kg_pipeline": timed_runs(kg, runs, stat),
         "n3_parse_udf": timed_runs(parse, runs, stat),
         "entity_canon": timed_runs(canon, runs, stat),
+        "dedup_minhash": timed_runs(minhash, runs, stat),
+        "ann_ivf_multiprobe": timed_runs(ann, runs, stat),
     }
     total = sum(per_query.values())
     turns_per_sec = round(n_turns / per_query["kg_pipeline"], 1)

@@ -71,11 +71,15 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles
     (winnowing-style robust fingerprint, stable under local edits)."""
-    from rdf_n3_spark.operators.dedup import word_shingles
+    from rdf_n3_spark.operators.dedup import shingles_of_tokens
 
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
     return documents.select(
         "doc_id",
         F.md5(norm).alias("exact_fp"),
-        F.array_min(F.transform(word_shingles(F.col("text")), F.md5)).alias("shingle_fp"),
+        F.split(F.lower("text"), " ").alias("__toks"),
+    ).select(
+        "doc_id",
+        "exact_fp",
+        F.array_min(F.transform(shingles_of_tokens(F.col("__toks")), F.md5)).alias("shingle_fp"),
     )

@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 from rdf_n3_spark.operators.canon import MAX_BUCKET, BANDS, N_HASHES
 
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of a text column."""
-    toks = F.split(F.lower(col), " ")
+def shingles_of_tokens(toks, n: int = 3):
+    """Distinct n-gram shingles of a TOKEN-ARRAY column.
+
+    The tokens must already be a bound column (not an inline
+    ``split(...)`` expression): a lambda body re-evaluates every
+    expression it references per element, so an inline split would
+    re-tokenize the whole text once per shingle — O(len²) per document
+    (measured 26 µs/shingle vs ~1 µs with the bound column)."""
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -30,6 +35,13 @@ def word_shingles(col, n: int = 3):
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of a text column. Prefer
+    projecting ``split(lower(text))`` to a column first and calling
+    :func:`shingles_of_tokens` — see the quadratic-re-eval note there."""
+    return shingles_of_tokens(F.split(F.lower(col), " "), n)
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -41,23 +53,37 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sig_from_shingles(df: DataFrame, id_col: str, sh_col: str) -> DataFrame:
-    sh = df.select(id_col, F.explode(sh_col).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+def minhash_cols():
+    """Per-row minhash signature columns over a bound ``sh`` array —
+    ``array_min(transform(...))`` is a per-row scan, so the signature
+    needs NO shingle explode and NO groupBy shuffle (the former
+    explode+groupBy shape shuffled 3× the corpus text)."""
+    return [
+        F.array_min(
+            F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit(f"{i}|"), x)))
+        ).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+
+
+def doc_shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh): word-3-gram shingle sets, computed over a BOUND
+    token column.  The repartition is a deliberate barrier: it stops
+    CollapseProject from re-inlining the split() into the shingle
+    lambda (which would re-tokenize per shingle — measured 3.6× slower)
+    and spreads a few-file corpus across the cluster."""
+    toks = documents.select(
+        F.col("doc_id"), F.split(F.lower("text"), " ").alias("toks")
+    ).repartition("doc_id")
+    return toks.select(F.col("doc_id"), shingles_of_tokens(F.col("toks")).alias("sh"))
 
 
 def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     """(a, b) near-duplicate doc_id pairs: LSH blocking + exact word-
     shingle Jaccard ≥ threshold. Same skeleton as entity canon; the
     hot-bucket prune bounds the self-join at any corpus size."""
-    shs = documents.select(
-        F.col("doc_id"), word_shingles(F.col("text")).alias("sh")
-    )
-    sig = _minhash_sig_from_shingles(shs, "doc_id", F.col("sh"))
+    shs = doc_shingles(documents)
+    sig = shs.select("doc_id", *minhash_cols())
     rpb = N_HASHES // BANDS
     bands = F.array(
         *[
