@@ -127,23 +127,29 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+_PN_LOCAL_ESC_RE = re.compile(r"\\(.)")
+
+
 def _tokenize(text: str):
     toks = []
     pos = 0
     line = 1
     n = len(text)
+    match = _MASTER_RE.match
+    append = toks.append
     while pos < n:
-        m = _MASTER_RE.match(text, pos)
+        m = match(text, pos)
         if not m:
             raise N3ParseError(f"unrecognized character {text[pos]!r}", pos, line)
         kind = m.lastgroup
         val = m.group()
-        line += val.count("\n")
+        if "\n" in val:
+            line += val.count("\n")
         pos = m.end()
         if kind in ("WS", "COMMENT"):
             continue
-        toks.append((kind, val, line))
-    toks.append(("EOF", "", line))
+        append((kind, val, line))
+    append(("EOF", "", line))
     return toks
 
 
@@ -226,7 +232,8 @@ class N3Parser:
         pfx, _, local = pname.partition(":")
         if pfx not in self.prefixes:
             raise N3ParseError(f"undefined prefix {pfx!r}:")
-        local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
+        if "\\" in local:  # PN_LOCAL_ESC — rare; skip the regex otherwise
+            local = _PN_LOCAL_ESC_RE.sub(r"\1", local)
         return f"<{self.prefixes[pfx]}{local}>"
 
     def emit(self, s: str, p: str, o: str):
