@@ -718,6 +718,14 @@ def _q_graph_closure(spark, sf_dir):
     return fixpoint_per_graph(quads, [_TRANS_RULE]).select("s", "p", "o", "g")
 
 
+def _q_graph_conclusions(spark, sf_dir):
+    """Per-graph inferred-only projection: what log:conclusion ADDED to
+    each conversation graph (closure minus base, graph-scoped)."""
+    quads = _conv_feeds_quads(spark, sf_dir)
+    closed = fixpoint_per_graph(quads, [_TRANS_RULE])
+    return closed.where(F.col("inferred")).select("s", "p", "o", "g")
+
+
 def _media_df(spark, sf_dir):
     """Deterministic stand-in media corpus: each document's utf-8 bytes
     as an opaque binary payload (the container has no real media
@@ -766,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_conclusions": _q_rule_conclusions,
         "rule_builtin_infer": _q_rule_builtin,
         "graph_closure": _q_graph_closure,
+        "graph_conclusions": _q_graph_conclusions,
         "entity_agg_salted": _q_salted_count,
         "entity_surfaces_salted": _q_salted_collect,
         "builtin_math": _q_builtin_math,
@@ -943,6 +952,31 @@ def oracle_sql() -> dict[str, str]:
                    'ent:supp_' || CAST(kb AS VARCHAR) AS o,
                    'conv:' || conv_id AS g
             FROM reach
+        """,
+        "graph_conclusions": f"""
+            {_MENTIONS},
+            supps AS (
+              SELECT DISTINCT conv_id, CAST(substr(norm, 6) AS BIGINT) AS k
+              FROM mentions WHERE regexp_matches(norm, '^supp_[0-9]+$')
+            ),
+            feeds AS (
+              SELECT a.conv_id, a.k AS ka, b.k AS kb
+              FROM supps a JOIN supps b
+                ON b.conv_id = a.conv_id AND b.k = a.k * 2
+            ),
+            reach AS (
+              SELECT conv_id, ka, kb FROM feeds
+              UNION
+              SELECT r.conv_id, r.ka, f.kb
+              FROM reach r JOIN feeds f
+                ON f.conv_id = r.conv_id AND f.ka = r.kb
+            )
+            SELECT 'ent:supp_' || CAST(ka AS VARCHAR) AS s,
+                   ':feeds' AS p,
+                   'ent:supp_' || CAST(kb AS VARCHAR) AS o,
+                   'conv:' || conv_id AS g
+            FROM (SELECT conv_id, ka, kb FROM reach
+                  EXCEPT SELECT conv_id, ka, kb FROM feeds)
         """,
         "builtin_math": """
             SELECT l_orderkey, l_linenumber,
