@@ -71,7 +71,21 @@ def main(argv=None) -> int:
     if args.repartition:
         t = t.repartition(args.repartition, "conv_id")
 
-    m = extract_mentions(t)
+    # Stage 1: materialize mentions once. The triple union below has
+    # TWO consumers of the mention stream (skolemized triples + entity
+    # aggregate); Spark does not share common subtrees across union
+    # branches, so feeding both from the live plan would tokenize the
+    # full corpus twice. Mentions are a small fraction of the corpus
+    # (matched tokens only), so writing them is cheap — and the
+    # _SUCCESS-gated write makes a resumed run skip straight past the
+    # expensive scan+tokenize pass. (os.path works for local roots;
+    # object-store deployments swap in the Hadoop FS check.)
+    m_path = os.path.join(args.graph_root, "mentions", f"batch={args.batch_id}")
+    if not os.path.exists(os.path.join(m_path, "_SUCCESS")):
+        extract_mentions(t).write.mode("overwrite").parquet(m_path)
+    m = spark.read.parquet(m_path)
+
+    # Stage 2: both triple families derive from the staged mentions.
     triples = mention_triples(m).unionByName(entity_triples(m))
     metrics = materialize_graph(spark, triples, args.graph_root, args.batch_id)
     print(json.dumps(metrics))
