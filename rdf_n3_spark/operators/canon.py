@@ -159,13 +159,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         # pointer-jump: follow the label one step (comp is itself a
         # node id, so map it through the fresh labels) — this is the
-        # path-halving that turns O(diameter) into O(log diameter)
+        # path-halving that turns O(diameter) into O(log diameter).
+        # No second checkpoint: the pre-join checkpoint above already
+        # bounds lineage, and the label table is tiny next to the edge
+        # set, so recomputing this one join per consumer is cheaper
+        # than materializing it every round.
         new = (
             new.alias("x")
             .join(new.select(F.col("node").alias("comp"),
                              F.col("comp").alias("jcomp")).alias("y"), "comp", "left")
             .select("node", F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"))
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
