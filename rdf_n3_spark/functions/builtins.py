@@ -226,6 +226,43 @@ _reg(STR + "scrape", "compute_list_whole",
 _reg(STR + "format", "compute_list_whole",
      lambda elems: enc_string(as_string(elems[0]) % tuple(as_string(e) for e in elems[1:])))
 
+
+def _ws_collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+# cwm's string:containsRoughly: substring test ignoring case and
+# whitespace runs (semantics pinned by examples/string/roughly-out.n3;
+# the reference raises NotImplemented here, algebra.rb:178 — this
+# engine implements the cwm behavior instead)
+_reg(STR + "containsRoughly", "test",
+     lambda a, b: _ws_collapse(as_string(b)).lower()
+     in _ws_collapse(as_string(a)).lower())
+
+#: safe sets derived from cwm's uriEncode goldens
+#: (examples/string/uriEncode-out.n3): encodeForURI keeps RFC reserved
+#: chars EXCEPT "/", encodeForFragID keeps "/" but encodes #'()~
+_ALNUM = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+          "abcdefghijklmnopqrstuvwxyz0123456789")
+URI_SAFE = set(_ALNUM + "_.-~" + "#!$&'()*+,;=:?@")
+FRAG_SAFE = set(_ALNUM + "_.-" + "!$&*+,;=:@/")
+
+
+def _pct_encode(s: str, safe: set) -> str:
+    out = []
+    for ch in s:
+        if ch in safe:
+            out.append(ch)
+        else:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
+_reg(STR + "encodeForURI", "compute",
+     lambda t: enc_string(_pct_encode(as_string(t), URI_SAFE)))
+_reg(STR + "encodeForFragID", "compute",
+     lambda t: enc_string(_pct_encode(as_string(t), FRAG_SAFE)))
+
 # --- time (lexical-form-sensitive validity; SURVEY §2.8 table 3)
 
 def _time_component(part_idx: int, need: str):

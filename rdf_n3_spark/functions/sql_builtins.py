@@ -144,6 +144,39 @@ _reg(STR + "scrape", "compute_pair",
      lambda a, pat: F.regexp_extract(as_str(a), pat, 1), raw_args=(1,))
 
 
+def _ws_norm(c):
+    """cwm containsRoughly normalization: collapse whitespace runs,
+    strip, lowercase."""
+    return F.lower(F.trim(F.regexp_replace(as_str(c), r"\s+", " ")))
+
+
+# cwm semantics (examples/string/roughly-out.n3); the reference raises
+# NotImplemented (algebra.rb:178) — implemented here instead
+_reg(STR + "containsRoughly", "test", lambda a, b: _ws_norm(a).contains(_ws_norm(b)))
+
+#: percent-encoding safe sets pinned by examples/string/uriEncode-out.n3
+_URI_SAFE_RE = r"^[A-Za-z0-9_.~#!$&'()*+,;=:?@-]$"
+_FRAG_SAFE_RE = r"^[A-Za-z0-9_.!$&*+,;=:@/-]$"
+
+
+def _pct_encode_col(c, safe_re: str):
+    """Per-char percent encoder: safe chars pass, others become
+    uppercase %XX per utf-8 byte — pure Column expr (split to chars →
+    transform → join); niche op, never the scan hot path."""
+    chars = F.split(as_str(c), "")
+    enc = F.transform(
+        chars,
+        lambda ch: F.when(ch.rlike(safe_re), ch).otherwise(
+            F.regexp_replace(F.upper(F.hex(F.encode(ch, "utf-8"))), "(..)", r"%$1")
+        ),
+    )
+    return F.array_join(enc, "")
+
+
+_reg(STR + "encodeForURI", "compute", lambda c: _pct_encode_col(c, _URI_SAFE_RE))
+_reg(STR + "encodeForFragID", "compute", lambda c: _pct_encode_col(c, _FRAG_SAFE_RE))
+
+
 _FORMAT_UDF = None
 
 

@@ -25,6 +25,7 @@ def test_registry_covers_survey_vocabularies():
         STR + "startsWith", STR + "endsWith", STR + "equalIgnoringCase",
         STR + "greaterThan", STR + "matches", STR + "notMatches",
         STR + "replace", STR + "scrape", STR + "format",
+        STR + "containsRoughly", STR + "encodeForURI", STR + "encodeForFragID",
         TIME + "year", TIME + "month", TIME + "day", TIME + "hour",
         TIME + "minute", TIME + "second", TIME + "dayOfWeek",
         TIME + "timeZone", TIME + "inSeconds",
@@ -140,6 +141,50 @@ def test_string_format_distributed(spark):
         (("doc %s in %s", "?src", "?lang"), STR + "format", "?f"),
     ]).collect()[0]
     assert out["f"] == "doc web in en"
+
+
+def test_contains_roughly_distributed(spark):
+    """cwm whitespace/case-insensitive contains — golden cases from
+    examples/string/roughly-out.n3."""
+    df = spark.createDataFrame(
+        [("A green party", "green     Party", True),
+         ("all good people to come to", "gooood", False),
+         ("", "", True),
+         ("THE\n\tWIDE     \n\tAND\n\tTHE\n\tnarrowEST\n\tOF PLACES",
+          "wide and the", True)],
+        ["a", "b", "want"],
+    )
+    out = apply_builtins(df.where("want"), [("?a", STR + "containsRoughly", "?b")])
+    assert out.count() == 3
+    out2 = apply_builtins(df.where("NOT want"), [("?a", STR + "containsRoughly", "?b")])
+    assert out2.count() == 0
+
+
+def test_uri_encode_distributed(spark):
+    """Percent-encoding safe sets pinned by examples/string/uriEncode-out.n3
+    — both layers agree."""
+    from rdf_n3_spark.functions.builtins import REGISTRY
+
+    cases = {  # input → (AS_URI, AS_FragID) per the cwm golden
+        "asd#jkl": ("asd#jkl", "asd%23jkl"),
+        "asd/jkl": ("asd%2Fjkl", "asd/jkl"),
+        "asd~jkl": ("asd~jkl", "asd%7Ejkl"),
+        "asd'jkl": ("asd'jkl", "asd%27jkl"),
+        "asd-jkl": ("asd-jkl", "asd-jkl"),
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["s"])
+    rows = apply_builtins(df, [
+        ("?s", STR + "encodeForURI", "?u"),
+        ("?s", STR + "encodeForFragID", "?f"),
+    ]).collect()
+    for r in rows:
+        want_u, want_f = cases[r["s"]]
+        assert r["u"] == want_u and r["f"] == want_f, r
+    for k, (want_u, want_f) in cases.items():
+        _, fn_u = REGISTRY[STR + "encodeForURI"]
+        _, fn_f = REGISTRY[STR + "encodeForFragID"]
+        assert fn_u(f'"{k}"') == f'"{want_u}"'
+        assert fn_f(f'"{k}"') == f'"{want_f}"'
 
 
 def test_gm_time_distributed(spark):
