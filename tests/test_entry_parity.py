@@ -34,3 +34,19 @@ def test_all_queries_have_oracles_or_are_flagged():
     # non-SQL-expressible ops are allowed to omit oracles; keep the list explicit
     allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+def test_harness_detects_mismatches(spark):
+    """Negative control: the comparison actually fails on wrong values,
+    wrong row counts, and wrong column names — the gate is not vacuous."""
+    import pandas as pd
+    import pytest as _pytest
+
+    sdf = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    with _pytest.raises(AssertionError):
+        assert_match(sdf, pd.DataFrame({"k": [1, 2], "v": ["a", "X"]}), "val")
+    with _pytest.raises(AssertionError):
+        assert_match(sdf, pd.DataFrame({"k": [1], "v": ["a"]}), "rows")
+    with _pytest.raises(AssertionError):
+        assert_match(sdf, pd.DataFrame({"k": [1, 2], "w": ["a", "b"]}), "cols")
+    assert_match(sdf, pd.DataFrame({"k": [2, 1], "v": ["b", "a"]}), "order-insensitive")
