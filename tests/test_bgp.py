@@ -79,3 +79,35 @@ def test_fixpoint_no_rules_fire(spark):
     closed = fixpoint(df, [r])
     assert closed.count() == 1
     assert conclusions(closed).count() == 0
+
+
+def test_fixpoint_mutually_recursive_rules(spark):
+    """Two rules feeding each other: a delta derived by rule A must be
+    visible to rule B in the NEXT round (the semi-naive union of
+    delta-seats is per rule, but the shared delta crosses rules) —
+    the classic way a broken delta propagation under-derives.
+
+    :e edges alternate through :odd/:even marks:
+      odd(x) ∧ x :e y  ⇒ even(y)
+      even(x) ∧ x :e y ⇒ odd(y)
+    over a 6-node chain seeded with odd(n0): marks must reach n5.
+    """
+    from pyspark.sql import functions as F
+
+    rows = [(f"n{i}", ":e", f"n{i + 1}") for i in range(5)]
+    rows.append(("n0", ":is", "odd"))
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    odd_to_even = Rule(
+        antecedent=(("?x", ":is", "odd"), ("?x", ":e", "?y")),
+        consequent=(("?y", ":is", "even"),),
+    )
+    even_to_odd = Rule(
+        antecedent=(("?x", ":is", "even"), ("?x", ":e", "?y")),
+        consequent=(("?y", ":is", "odd"),),
+    )
+    closed = fixpoint(t, [odd_to_even, even_to_odd])
+    marks = {(r["s"], r["o"]) for r in closed.where(F.col("p") == ":is").collect()}
+    assert marks == {
+        ("n0", "odd"), ("n1", "even"), ("n2", "odd"),
+        ("n3", "even"), ("n4", "odd"), ("n5", "even"),
+    }
