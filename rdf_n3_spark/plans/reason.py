@@ -563,6 +563,20 @@ class Reasoner:
             # nested rule statement inside an antecedent: match as a
             # plain pattern (rare); treat as unsupported here
             return None
+        if name == "supports":
+            # cwm semantics (verified against examples/supports/simple-ref.n3):
+            # F log:supports G iff the closure of F under F's own rules
+            # includes G — log:conclusion composed with log:includes.
+            # The reference raises NotImplemented here (algebra.rb:142);
+            # this engine implements the cwm behavior instead.
+            if not (_is_formula(sv) and _is_formula(ov)):
+                return None
+            sub = Reasoner([(s, p, o, "") for s, p, o, _ in self.graph(sv)]
+                           + [q for q in self.kb if q[3] != ""])
+            sub.execute(think=True)
+            target = [(s, p, o) for s, p, o, g in sub.kb if g == ""]
+            pats = [(s, p, o) for s, p, o, _ in self.graph(ov)]
+            return self._match_against(pats, target, sol)
         if name in ("content", "semantics"):
             # Dereference the subject resource (log/content.rb:19-32,
             # log/semantics.rb:19-38).  The reference opens the IRI via
@@ -591,7 +605,7 @@ class Reasoner:
                 if g != "":
                     self.kb.add((s, p, o, g))
             return self._bind_or_compare(ov, node, sol)
-        return None  # supports: NotImplemented in the reference too (algebra.rb:142)
+        return None
 
     def _unify_multi(self, pat, val, sol) -> list[dict]:
         """Unification that supports quoted-formula terms: a formula in

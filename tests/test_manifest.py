@@ -29,10 +29,9 @@ MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 TEST = "http://www.w3.org/2000/10/swap/test.n3#"
 
 #: recorded-mode failures that are PARITY with the reference, not bugs:
-#: log:supports is NotImplemented in the reference too (algebra.rb:142);
 #: the conjunction golden is a cwm rule-echo form no reference mode
 #: reproduces either (tracked in test_reasoner.py)
-KNOWN_PARITY_GAPS = {"supports/simple.n3", "includes/conjunction.n3"}
+KNOWN_PARITY_GAPS = {"includes/conjunction.n3"}
 
 #: goldens whose content contradicts the manifest's recorded flags:
 #: list/append's golden is a pure parse echo (zero derived statements)

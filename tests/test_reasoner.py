@@ -22,10 +22,8 @@ from rdf_n3_spark.functions.isomorphism import precision_recall
 from rdf_n3_spark.functions.n3_parser import parse_n3, parse_n3_full
 from rdf_n3_spark.plans.reason import Reasoner, expand_lists
 
-# every examples/ dir with golden pairs except supports/ — log:supports
-# is NotImplemented in the reference itself (algebra.rb:142), so its
-# golden encodes behavior the reference engine doesn't have either
-DIRS = ["andy", "reason", "includes", "list", "string", "unify", "norm"]
+# every examples/ dir with golden pairs
+DIRS = ["andy", "reason", "includes", "list", "string", "supports", "unify", "norm"]
 
 
 def fixture_pairs():
@@ -183,3 +181,21 @@ def test_log_semantics_missing_file_no_solution(tmp_path):
         f"{{ <file://{tmp_path}/absent.n3> log:semantics ?f }} => {{ :r :is :FAILURE }} ."
     )).execute()
     assert not r.inferred
+
+
+def test_log_supports_closure_then_includes():
+    """F log:supports G iff closure(F) includes G (cwm semantics,
+    examples/supports/simple-ref.n3; reference raises NotImplemented,
+    algebra.rb:142)."""
+    r = Reasoner(parse_n3(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        "{ { :a :b :c . { :a :b :c } => { :d :e :f } } log:supports { :d :e :f } }"
+        " => { :ok :is :true } ."
+    )).execute()
+    assert ('<http://ex/ok>', '<http://ex/is>', '<http://ex/true>', '') in r.inferred
+
+    r2 = Reasoner(parse_n3(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        "{ { :a :b :c } log:supports { :d :e :f } } => { :ok :is :FAILURE } ."
+    )).execute()
+    assert not r2.inferred
