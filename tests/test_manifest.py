@@ -29,8 +29,12 @@ MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 TEST = "http://www.w3.org/2000/10/swap/test.n3#"
 
 #: recorded-mode failures that are PARITY with the reference, not bugs:
-#: the conjunction golden is a cwm rule-echo form no reference mode
-#: reproduces either (tracked in test_reasoner.py)
+#: conjunction's golden keeps the rule statement in the default graph
+#: (cwm --data does), but the reference's OWN data() projection drops
+#: formula-valued statements (reasoner.rb:184-194) — so its recorded
+#: think+data combination is unreproducible under reference semantics.
+#: The golden matches exactly as a parse echo, asserted by
+#: test_reasoner.py's corpus (P/R 1.0 in that mode).
 KNOWN_PARITY_GAPS = {"includes/conjunction.n3"}
 
 #: goldens whose content contradicts the manifest's recorded flags:

@@ -62,11 +62,6 @@ def best_pr(src: str, ref: str, base: str) -> tuple[float, float]:
 
 @pytest.mark.parametrize("name,src,ref", PAIRS, ids=[p[0] for p in PAIRS])
 def test_fixture_pr(name, src, ref):
-    # conjunction-ref.n3's golden is a cwm echo whose flags none of the
-    # documented modes reproduce (rule echo with pretty-printed vars);
-    # tracked as a known gap rather than asserted.
-    if name == "includes/conjunction.n3":
-        pytest.skip("golden produced with unrecorded cwm flags")
     base = "http://example.org/" + os.path.basename(src)
     p, r = best_pr(src, ref, base)
     assert p >= 0.95 and r >= 0.95, f"{name}: P={p:.2f} R={r:.2f}"
