@@ -50,3 +50,20 @@ def test_harness_detects_mismatches(spark):
     with _pytest.raises(AssertionError):
         assert_match(sdf, pd.DataFrame({"k": [1, 2], "w": ["a", "b"]}), "cols")
     assert_match(sdf, pd.DataFrame({"k": [2, 1], "v": ["b", "a"]}), "order-insensitive")
+
+
+# Cross-SF spot check: a representative slice re-verified at sf0.001
+# (catches SF-dependent constants — bucket prunes, query-id bounds,
+# skew thresholds — that a single-SF gate would bake in; the full 46
+# were verified at both SFs during development)
+CROSS_SF = [
+    "transcripts_build", "mention_extract", "entity_agg", "rule_closure",
+    "graph_includes_join", "entity_canon", "dedup_minhash",
+    "dedup_embedding", "ann_topk_partial", "media_features",
+]
+
+
+@pytest.mark.parametrize("name", CROSS_SF)
+def test_query_matches_oracle_sf0001(spark, name):
+    sdf = QUERIES[name](spark, SF_SMOKE)
+    assert_match(sdf, duck_run(ORACLES[name], SF_SMOKE), f"{name}@sf0.001")
