@@ -534,7 +534,12 @@ def literal_parts(t: str) -> tuple[str, str, str]:
     if not m:
         return t, "", ""
     lex = m.group(1)
-    lex = (
-        lex.replace("\\n", "\n").replace("\\r", "\r").replace('\\"', '"').replace("\\\\", "\\")
+    # single left-to-right pass: sequential str.replace would corrupt
+    # adjacent escapes (encoded "\\n" — a backslash then 'n' — must not
+    # become a newline)
+    lex = re.sub(
+        r"\\(.)",
+        lambda mm: {"n": "\n", "r": "\r", "t": "\t"}.get(mm.group(1), mm.group(1)),
+        lex,
     )
     return lex, m.group(2) or "", (m.group(3) or "").lower()

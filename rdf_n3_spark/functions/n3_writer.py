@@ -183,16 +183,28 @@ class N3Writer:
             return lex.replace("E", "e")
         if dt == xsd + "boolean" and lex in ("true", "false"):
             return lex
-        raw = lex.replace("\\n", "\n").replace("\\r", "\r")
-        if "\n" in raw or "\r" in raw or "\t" in raw:
-            body = raw.replace("\\", "\\\\").replace('"""', '\\"\\"\\"')
+        # decode to the VALUE in one left-to-right pass (sequential
+        # replaces would corrupt adjacent escapes and re-escaping the
+        # partially-decoded form double-escaped backslashes)
+        value = re.sub(
+            r"\\(.)",
+            lambda mm: {"n": "\n", "r": "\r", "t": "\t"}.get(mm.group(1), mm.group(1)),
+            lex,
+        )
+        if "\n" in value or "\r" in value or "\t" in value:
+            # triple-quote strategy: newlines/tabs stay raw; backslashes
+            # and every quote re-escape so any value is unambiguous
+            body = value.replace("\\", "\\\\").replace('"', '\\"')
             out = f'"""{body}"""'
         else:
             out = f'"{lex}"'
         if dt:
             return f"{out}^^{self._pname_or_iri('<' + dt + '>')}"
         if lang:
-            return f"{out}@{lang}"
+            # language tags are case-insensitive; emit the lowercase
+            # canonical form the parser (and RDF.rb's Literal) stores,
+            # so writer output always round-trips
+            return f"{out}@{lang.lower()}"
         return out
 
     def _verb(self, p, g: str) -> str:

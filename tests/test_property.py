@@ -65,6 +65,36 @@ def test_list_expand_fold_inverse(lists_):
     assert got == want
 
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+typed_lits = st.tuples(
+    lit_text, st.sampled_from(["integer", "string", "double", "date", "anyURI"])
+).map(lambda t: enc_string(t[0])[:-1] + f'"^^<{_XSD}{t[1]}>')
+lang_lits = st.tuples(lit_text, st.sampled_from(["en", "fr", "en-GB", "DE"])).map(
+    lambda t: enc_string(t[0]) + "@" + t[1]
+)
+rich_graphs = st.lists(
+    st.tuples(iris, iris, st.one_of(iris, typed_lits, lang_lits)),
+    min_size=0, max_size=12,
+).map(lambda ts: [(s, p, o, "") for s, p, o in ts])
+
+
+@settings(max_examples=150, deadline=None)
+@given(rich_graphs)
+def test_writer_parser_roundtrip_converges(quads):
+    """Typed / language-tagged literals: one trip through the writer
+    canonicalizes (language tags lowercase, per RDF.rb Literal
+    normalization); a second trip is then a fixed point."""
+    import re as _re
+
+    once = parse_n3(serialize_n3(quads))
+    twice = parse_n3(serialize_n3(once))
+    assert isomorphic(once, twice)
+    for _, _, o, _ in once:
+        m = _re.match(r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', o or "")
+        if m:
+            assert m.group(1) == m.group(1).lower()
+
+
 @settings(max_examples=200, deadline=None)
 @given(lit_text)
 def test_literal_codec_roundtrip(s):
