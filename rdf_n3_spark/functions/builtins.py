@@ -162,13 +162,35 @@ _reg(MATH + "sum", "compute_list", _numeric_op(lambda *v: sum(v) if v else 0))
 _reg(MATH + "product", "compute_list", _numeric_op(lambda *v: _math.prod(v) if v else 1))
 _reg(MATH + "difference", "compute_list", _numeric_op(lambda a, b: a - b))
 _reg(MATH + "quotient", "compute_list", _numeric_op(lambda a, b: a / b))
-_reg(
-    MATH + "remainder",
-    "compute_list",
-    _numeric_op(lambda a, b: _math.fmod(a, b) if isinstance(a, float) else int(_math.fmod(a, b))),
-)
-_reg(MATH + "exponentiation", "compute_list", _numeric_op(lambda a, b: a ** b))
-_reg(MATH + "integerQuotient", "compute_list", _numeric_op(lambda a, b: int(a // b)))
+def _remainder(elems):
+    """math:remainder — the reference VALIDATES the pair as integers
+    (math/remainder.rb:27-31, non-integers → no solution) and computes
+    Ruby ``%`` (floor-mod, sign of the divisor), which Python's ``%``
+    matches exactly."""
+    a, b = (as_number(e) for e in elems)
+    if not (isinstance(a, int) and isinstance(b, int)) or b == 0:
+        return None
+    return enc_number(a % b)
+
+
+_reg(MATH + "remainder", "compute_list_whole", _remainder)
+def _exponentiation(elems):
+    """0 ** negative is a division by zero — no solution in both
+    registry layers (the distributed twin yields null there)."""
+    a, b = (as_number(e) for e in elems)
+    if a == 0 and b < 0:
+        return None
+    if any(isinstance(v, float) for v in (a, b)):
+        a, b = float(a), float(b)
+    elif any(isinstance(v, Decimal) for v in (a, b)):
+        a, b = float(a), float(b)  # Decimal ** Decimal may raise; float matches the Column twin
+    return enc_number(a ** b)
+
+
+_reg(MATH + "exponentiation", "compute_list_whole", _exponentiation)
+# floor division in BOTH layers (Decimal // would truncate toward zero)
+_reg(MATH + "integerQuotient", "compute_list",
+     _numeric_op(lambda a, b: int(_math.floor(a / b))))
 # negation is self-inverse: object-ground + subject-var binds the
 # subject with the same computation (resource_operator.rb:45-47)
 _reg(MATH + "negation", "compute_invertible",

@@ -92,11 +92,26 @@ _reg(MATH + "product", "compute_list",
      lambda arr: F.aggregate(arr, F.lit(1.0), lambda a, x: a * as_num(x)))
 _reg(MATH + "difference", "compute_pair", _n(lambda a, b: a - b))
 _reg(MATH + "quotient", "compute_pair", _n(lambda a, b: a / b))
-_reg(MATH + "remainder", "compute_pair",
-     _n(lambda a, b: (a.cast("long") % b.cast("long"))))
-_reg(MATH + "exponentiation", "compute_pair", _n(F.pow))
+def _remainder_col(a, b):
+    """Ruby ``%`` floor-mod over VALIDATED integer operands
+    (math/remainder.rb:17-31): non-integer operands or a zero divisor
+    yield null (no solution) instead of truncating or raising the ANSI
+    REMAINDER_BY_ZERO error mid-job."""
+    al = a.cast("long")
+    bl = F.nullif(b.cast("long"), F.lit(0))
+    integral = (a == al.cast("double")) & (b == bl.cast("double"))
+    return F.when(
+        integral, al - bl * F.floor(al.cast("double") / bl.cast("double")).cast("long")
+    )
+
+
+_reg(MATH + "remainder", "compute_pair", _n(_remainder_col))
+# 0 ** negative → null (no solution; Java pow would give Infinity)
+_reg(MATH + "exponentiation", "compute_pair",
+     _n(lambda a, b: F.when(~((a == 0) & (b < 0)), F.pow(a, b))))
+# nullif keeps a zero divisor from raising mid-job (null = no solution)
 _reg(MATH + "integerQuotient", "compute_pair",
-     _n(lambda a, b: F.floor(a / b).cast("long")))
+     _n(lambda a, b: F.floor(a / F.nullif(b, F.lit(0.0))).cast("long")))
 _reg(MATH + "negation", "compute", _n(lambda a: -a))
 _reg(MATH + "absoluteValue", "compute", _n(F.abs))
 # half-away-from-zero like Ruby Float#round (math/rounded.rb):

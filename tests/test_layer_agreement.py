@@ -1,0 +1,97 @@
+"""Two-layer agreement: every math builtin must produce the SAME value
+through the driver registry (term-faithful Python, used in per-document
+rule evaluation) and the distributed registry (Column expressions, used
+on the corpus hot path) — a silent divergence would make per-document
+and corpus-scale reasoning disagree on the same data.
+
+Deterministic grid: signed integers, decimals, halves (rounding
+boundaries), and magnitude extremes. "No solution" must align too: the
+driver filters (returns None) exactly where the distributed layer binds
+null — e.g. math:remainder on non-integer operands or a zero divisor
+(the reference validates the pair as integers, math/remainder.rb).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_n3_spark.functions.builtins import MATH, REGISTRY, as_number, literal_parts
+from rdf_n3_spark.functions.sql_builtins import apply_builtins
+
+VALUES = ["0", "1", "-1", "2", "-2", "7", "-7", "2.5", "-2.5", "0.5",
+          "-0.5", "3.25", "-3.25", "1000000", "-999999", "0.001"]
+
+PAIR_OPS = ["difference", "quotient", "remainder", "integerQuotient",
+            "exponentiation", "sum", "product"]
+UNARY_OPS = ["negation", "absoluteValue", "rounded", "ceiling", "floor"]
+
+
+def _driver_value(op: str, args: list[str]) -> float | None:
+    """Driver-layer result as a float, or None for 'no solution'."""
+    mode, fn = REGISTRY[MATH + op]
+    try:
+        if mode in ("compute", "compute_invertible"):
+            f = fn[0] if mode == "compute_invertible" else fn
+            enc = f(args[0])
+        else:
+            enc = fn(args) if mode == "compute_list_whole" else fn(*args)
+    except (ArithmeticError, OverflowError, ValueError):
+        return None
+    if enc is None:
+        return None
+    lex, _, _ = literal_parts(enc)
+    return float(as_number(f'"{lex}"'))
+
+
+def test_math_layers_agree(spark):
+    rows, expected = [], []
+    rid = 0
+    for op in PAIR_OPS:
+        for a in VALUES:
+            for b in VALUES:
+                if op in ("quotient", "integerQuotient") and float(b) == 0:
+                    continue  # driver filters; distributed: inf / null
+                if op == "exponentiation" and (float(a) < 0 or abs(float(b)) > 8):
+                    continue  # complex results / overflow out of scope
+                rows.append((rid, op, a, b))
+                expected.append(_driver_value(op, [a, b]))
+                rid += 1
+    for op in UNARY_OPS:
+        for a in VALUES:
+            rows.append((rid, op, a, a))
+            expected.append(_driver_value(op, [a]))
+            rid += 1
+
+    df = spark.createDataFrame(rows, "id long, op string, a string, b string")
+    got: dict[int, float | None] = {}
+    for op in PAIR_OPS:
+        sol = apply_builtins(df.where(df.op == op),
+                             [(("?a", "?b"), MATH + op, "?v")])
+        got.update({r["id"]: (None if r["v"] is None else float(r["v"]))
+                    for r in sol.select("id", "v").collect()})
+    for op in UNARY_OPS:
+        sol = apply_builtins(df.where(df.op == op), [("?a", MATH + op, "?v")])
+        got.update({r["id"]: (None if r["v"] is None else float(r["v"]))
+                    for r in sol.select("id", "v").collect()})
+
+    bad = []
+    for (rid_, op, a, b), want in zip(rows, expected):
+        have = got.get(rid_)
+        if want is None or have is None:
+            if want is not have:
+                bad.append((op, a, b, want, have))
+        elif abs(have - want) > 1e-9 * max(1.0, abs(want)):
+            bad.append((op, a, b, want, have))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
+@pytest.mark.parametrize("op", ["greaterThan", "lessThan", "equalTo",
+                                "notGreaterThan", "notLessThan", "notEqualTo"])
+def test_comparison_layers_agree(spark, op):
+    pairs = [(a, b) for a in VALUES for b in VALUES]
+    mode, fn = REGISTRY[MATH + op]
+    keep_driver = {(a, b) for a, b in pairs if fn(f'"{a}"', f'"{b}"')}
+    df = spark.createDataFrame(pairs, "a string, b string")
+    sol = apply_builtins(df, [("?a", MATH + op, "?b")])
+    keep_dist = {(r["a"], r["b"]) for r in sol.collect()}
+    assert keep_driver == keep_dist
