@@ -227,16 +227,41 @@ _reg(STR + "format", "compute_list", _format_column)
 # FORM (time/hour.rb:29-32 etc.), so components extract from the string,
 # never from a parsed timestamp.
 
+#: a lexical is a valid dateTime form only as a WHOLE (driver _DT_RE
+#: anchors both ends; '2024-3-7' must not yield year=2024)
+_DT_VALID = (r"^\d{4,}(-\d{2}(-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?)?)?"
+             r"(Z|[+-]\d{2}:\d{2})?$")
+
+
 def _time_component(group: int, need: str):
     full = (r"^(\d{4,})(?:-(\d{2}))?(?:-(\d{2}))?"
             r"(?:T(\d{2}):(\d{2})(?::(\d{2}))?)?")
 
     def run(c: Column) -> Column:
         lx = lex(c)
-        return F.when(lx.rlike(need),
+        return F.when(lx.rlike(need) & lx.rlike(_DT_VALID),
                       F.nullif(F.regexp_extract(lx, full, group), F.lit("")).cast("int"))
 
     return run
+
+
+def _ts_padded(lx: Column) -> Column:
+    """Lexical → timestamp with the reference's as_datetime padding
+    (extensions.rb:105-113: '2024' ≡ 2024-01-01T00:00:00, etc.).
+    try_to_timestamp throughout — a malformed lexical in one row must
+    yield null (no solution), never the ANSI CAST_INVALID_INPUT error
+    that would kill a 100 TB job; the _DT_VALID gate also rejects the
+    lenient single-digit forms Spark's cast accepts but the lexical
+    grammar does not."""
+    return F.when(
+        lx.rlike(_DT_VALID),
+        F.coalesce(
+            F.try_to_timestamp(lx),
+            F.try_to_timestamp(lx, F.lit("yyyy-MM-dd'T'HH:mm")),
+            F.try_to_timestamp(lx, F.lit("yyyy-MM")),
+            F.try_to_timestamp(lx, F.lit("yyyy")),
+        ),
+    )
 
 
 _reg(TIME + "year", "compute", _time_component(1, r"^\d{4}"))
@@ -246,15 +271,20 @@ _reg(TIME + "hour", "compute", _time_component(4, r"^\d{4,}-\d{2}-\d{2}T\d{2}"))
 _reg(TIME + "minute", "compute", _time_component(5, r"^\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}"))
 _reg(TIME + "second", "compute",
      _time_component(6, r"^\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"))
-# 0 = Sunday (time/day_of_week.rb:15-25); F.dayofweek is 1 = Sunday
+# 0 = Sunday (time/day_of_week.rb:15-25); F.dayofweek is 1 = Sunday.
+# The weekday is of the LEXICAL's date fields (Ruby DateTime#wday keeps
+# the offset), so strip any zone before parsing — converting an offset
+# timestamp to the session TZ would shift small-hours dates.
 _reg(TIME + "dayOfWeek", "compute",
-     lambda c: F.dayofweek(F.to_timestamp(lex(c))) - 1)
+     lambda c: F.dayofweek(_ts_padded(
+         F.regexp_replace(lex(c), r"(Z|[+-]\d{2}:\d{2})$", ""))) - 1)
 # trailing numeric offset; absent or "Z" → invalid (time/timezone.rb:17-33)
 _reg(TIME + "timeZone", "compute",
      lambda c: F.nullif(F.regexp_extract(lex(c), r"([+-]\d{2}:\d{2})$", 1), F.lit("")))
-# session TZ is pinned UTC (session.py), so zoneless lexicals parse as UTC
+# session TZ is pinned UTC (session.py), so zoneless lexicals parse as
+# UTC; partial forms pad like the driver (as_datetime coercion)
 _reg(TIME + "inSeconds", "compute",
-     lambda c: F.unix_timestamp(F.to_timestamp(lex(c))))
+     lambda c: F.unix_timestamp(_ts_padded(lex(c))))
 
 #: strftime directive → Spark datetime-pattern fragment (the subset the
 #: reference's fixtures use; gm_time.rb formats via Ruby strftime)

@@ -95,3 +95,45 @@ def test_comparison_layers_agree(spark, op):
     sol = apply_builtins(df, [("?a", MATH + op, "?b")])
     keep_dist = {(r["a"], r["b"]) for r in sol.collect()}
     assert keep_driver == keep_dist
+
+
+TIME_LEX = ["2024", "2024-03", "2024-03-07", "2024-03-07T12:30",
+            "2024-03-07T12:30:45", "2024-03-07T12:30:45Z",
+            "2024-03-07T12:30:45+02:00", "not-a-date", "2024-3-7",
+            "0999-01-01T00:00:00", "2024-02-29T00:00:00", "",
+            "2024-03-07T00:30:00+02:00"]
+TIME_OPS = ["year", "month", "day", "hour", "minute", "second",
+            "dayOfWeek", "timeZone", "inSeconds"]
+
+
+def test_time_layers_agree(spark):
+    """Time builtins over valid/partial/malformed/offset lexicals:
+    identical values and aligned no-solution in both layers. Also the
+    robustness contract: a malformed lexical yields null — it must
+    never raise the ANSI CAST_INVALID_INPUT error that would kill a
+    distributed job on one bad row."""
+    from rdf_n3_spark.functions.builtins import TIME
+
+    def drv(op, lex_):
+        mode, fn = REGISTRY[TIME + op]
+        f = fn[0] if mode == "compute_invertible" else fn
+        try:
+            enc = f(f'"{lex_}"')
+        except Exception:
+            return None
+        if enc is None:
+            return None
+        l, _, _ = literal_parts(enc)
+        return l
+
+    df = spark.createDataFrame([(l,) for l in TIME_LEX], ["lex"])
+    bad = []
+    for op in TIME_OPS:
+        sol = apply_builtins(df, [("?lex", TIME + op, "?v")])
+        dist = {r["lex"]: (None if r["v"] is None else str(r["v"]))
+                for r in sol.collect()}
+        for l in TIME_LEX:
+            d, x = drv(op, l), dist.get(l)
+            if (d is None) != (x is None) or (d is not None and str(d) != str(x)):
+                bad.append((op, l, d, x))
+    assert not bad, f"{len(bad)} divergences: {bad[:5]}"
