@@ -137,3 +137,36 @@ def test_time_layers_agree(spark):
             if (d is None) != (x is None) or (d is not None and str(d) != str(x)):
                 bad.append((op, l, d, x))
     assert not bad, f"{len(bad)} divergences: {bad[:5]}"
+
+
+STR_TEXTS = ["", "abc", "ABC", "aBc", "Straße", "STRASSE", "İstanbul",
+             "istanbul", "ﬁle", "a b  c", "a\tb", "naïve", "NAÏVE",
+             "x.y*z", "résumé", "𝒜bc"]
+STR_TESTS = ["contains", "containsIgnoringCase", "startsWith", "endsWith",
+             "equalIgnoringCase", "greaterThan", "lessThan", "containsRoughly"]
+
+
+def test_string_layers_agree(spark):
+    """String tests/encoders over Unicode case-folding edge cases
+    (dotted I, sharp s, ligatures, astral chars): identical keep-sets
+    and encoder outputs in both layers."""
+    from rdf_n3_spark.functions.builtins import STR, enc_string
+
+    pairs = [(a, b) for a in STR_TEXTS for b in STR_TEXTS]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    bad = []
+    for op in STR_TESTS:
+        _, fn = REGISTRY[STR + op]
+        keep_driver = {(a, b) for a, b in pairs if fn(enc_string(a), enc_string(b))}
+        sol = apply_builtins(df, [("?a", STR + op, "?b")])
+        keep_dist = {(r["a"], r["b"]) for r in sol.collect()}
+        bad.extend((op, p) for p in keep_driver ^ keep_dist)
+
+    dfa = spark.createDataFrame([(t,) for t in STR_TEXTS], ["a"])
+    for op in ("encodeForURI", "encodeForFragID"):
+        _, fn = REGISTRY[STR + op]
+        want = {t: literal_parts(fn(enc_string(t)))[0] for t in STR_TEXTS}
+        sol = apply_builtins(dfa, [("?a", STR + op, "?v")])
+        got = {r["a"]: r["v"] for r in sol.collect()}
+        bad.extend((op, t, want[t], got.get(t)) for t in STR_TEXTS if want[t] != got.get(t))
+    assert not bad, f"{len(bad)} divergences: {bad[:5]}"
