@@ -90,8 +90,18 @@ _reg(MATH + "sum", "compute_list",
      lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + as_num(x)))
 _reg(MATH + "product", "compute_list",
      lambda arr: F.aggregate(arr, F.lit(1.0), lambda a, x: a * as_num(x)))
+def _finite(col: Column) -> Column:
+    """NaN/±Inf → null: a result outside the reals is 'no solution'
+    in the driver registry (math.* raises there), so the distributed
+    twin must not bind NaN garbage into downstream triples."""
+    return F.when(
+        ~F.isnan(col) & (col < float("inf")) & (col > float("-inf")), col
+    )
+
+
 _reg(MATH + "difference", "compute_pair", _n(lambda a, b: a - b))
-_reg(MATH + "quotient", "compute_pair", _n(lambda a, b: a / b))
+# x/0 → null (driver: ZeroDivisionError filters the solution)
+_reg(MATH + "quotient", "compute_pair", _n(lambda a, b: _finite(a / b)))
 def _remainder_col(a, b):
     """Ruby ``%`` floor-mod over VALIDATED integer operands
     (math/remainder.rb:17-31): non-integer operands or a zero divisor
@@ -106,9 +116,9 @@ def _remainder_col(a, b):
 
 
 _reg(MATH + "remainder", "compute_pair", _n(_remainder_col))
-# 0 ** negative → null (no solution; Java pow would give Infinity)
+# 0 ** negative / overflow → null (no solution; Java pow gives Inf)
 _reg(MATH + "exponentiation", "compute_pair",
-     _n(lambda a, b: F.when(~((a == 0) & (b < 0)), F.pow(a, b))))
+     _n(lambda a, b: _finite(F.when(~((a == 0) & (b < 0)), F.pow(a, b)))))
 # nullif keeps a zero divisor from raising mid-job (null = no solution)
 _reg(MATH + "integerQuotient", "compute_pair",
      _n(lambda a, b: F.floor(a / F.nullif(b, F.lit(0.0))).cast("long")))
@@ -120,9 +130,13 @@ _reg(MATH + "rounded", "compute",
      _n(lambda a: (F.signum(a) * F.floor(F.abs(a) + 0.5)).cast("long")))
 _reg(MATH + "ceiling", "compute", _n(F.ceil))
 _reg(MATH + "floor", "compute", _n(F.floor))
+# finite-guarded: out-of-domain (asin 2, acosh 0.5, atanh ±1) and
+# overflow (sinh 1000) yield null, matching the driver's raised-and-
+# filtered semantics instead of binding NaN/Inf
 for _name in ("sin", "cos", "tan", "sinh", "cosh", "tanh",
               "asin", "acos", "atan", "asinh", "acosh", "atanh"):
-    _reg(MATH + _name, "compute", _n(getattr(F, _name)))
+    _reg(MATH + _name, "compute",
+         _n(lambda a, _f=getattr(F, _name): _finite(_f(a))))
 _reg(MATH + "equalTo", "test", _n(lambda a, b: a == b))
 _reg(MATH + "notEqualTo", "test", _n(lambda a, b: a != b))
 _reg(MATH + "greaterThan", "test", _n(lambda a, b: a > b))
@@ -359,19 +373,20 @@ _reg(LOG + "langlit", "compute_pair",
 
 SQL_INVERSES: dict[str, object] = {
     MATH + "negation": _n(lambda o: -o),            # self-inverse
-    # math/sin.rb object-var branch family — both directions
-    MATH + "sin": _n(F.asin),
-    MATH + "cos": _n(F.acos),
-    MATH + "tan": _n(F.atan),
-    MATH + "sinh": _n(F.asinh),
-    MATH + "cosh": _n(F.acosh),
-    MATH + "tanh": _n(F.atanh),
-    MATH + "asin": _n(F.sin),
-    MATH + "acos": _n(F.cos),
-    MATH + "atan": _n(F.tan),
-    MATH + "asinh": _n(F.sinh),
-    MATH + "acosh": _n(F.cosh),
-    MATH + "atanh": _n(F.tanh),
+    # math/sin.rb object-var branch family — both directions,
+    # finite-guarded like the forward registrations
+    MATH + "sin": _n(lambda o: _finite(F.asin(o))),
+    MATH + "cos": _n(lambda o: _finite(F.acos(o))),
+    MATH + "tan": _n(lambda o: _finite(F.atan(o))),
+    MATH + "sinh": _n(lambda o: _finite(F.asinh(o))),
+    MATH + "cosh": _n(lambda o: _finite(F.acosh(o))),
+    MATH + "tanh": _n(lambda o: _finite(F.atanh(o))),
+    MATH + "asin": _n(lambda o: _finite(F.sin(o))),
+    MATH + "acos": _n(lambda o: _finite(F.cos(o))),
+    MATH + "atan": _n(lambda o: _finite(F.tan(o))),
+    MATH + "asinh": _n(lambda o: _finite(F.sinh(o))),
+    MATH + "acosh": _n(lambda o: _finite(F.cosh(o))),
+    MATH + "atanh": _n(lambda o: _finite(F.tanh(o))),
     # epoch seconds → dateTime lexical (time/in_seconds.rb:17-41 object branch)
     TIME + "inSeconds": lambda o: F.date_format(
         F.to_timestamp(as_num(o).cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"

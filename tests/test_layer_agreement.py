@@ -170,3 +170,38 @@ def test_string_layers_agree(spark):
         got = {r["a"]: r["v"] for r in sol.collect()}
         bad.extend((op, t, want[t], got.get(t)) for t in STR_TEXTS if want[t] != got.get(t))
     assert not bad, f"{len(bad)} divergences: {bad[:5]}"
+
+
+TRIG_VALS = ["0", "0.5", "-0.5", "1", "-1", "2", "-2", "10", "-10",
+             "0.999", "1.001", "1000"]
+TRIG_OPS = ["sin", "cos", "tan", "sinh", "cosh", "tanh",
+            "asin", "acos", "atan", "asinh", "acosh", "atanh"]
+
+
+def test_trig_layers_agree(spark):
+    """Trig family incl. out-of-domain (asin 2, acosh 0.5, atanh ±1)
+    and overflow (sinh 1000): value agreement, and the distributed
+    layer must bind null — never NaN/Inf — exactly where the driver
+    raises and filters."""
+    df = spark.createDataFrame([(v,) for v in TRIG_VALS], ["a"])
+    bad = []
+    for op in TRIG_OPS:
+        mode, fn = REGISTRY[MATH + op]
+        f = fn[0] if mode == "compute_invertible" else fn
+        want = {}
+        for v in TRIG_VALS:
+            try:
+                want[v] = float(as_number('"%s"' % literal_parts(f(f'"{v}"'))[0]))
+            except Exception:
+                want[v] = None
+        sol = apply_builtins(df, [("?a", MATH + op, "?x")])
+        got = {r["a"]: r["x"] for r in sol.collect()}
+        for v in TRIG_VALS:
+            w, g = want[v], got.get(v)
+            if g is not None and g != g:
+                bad.append((op, v, "NaN bound"))
+            elif (w is None) != (g is None):
+                bad.append((op, v, w, g))
+            elif w is not None and abs(g - w) > 1e-9 * max(1.0, abs(w)):
+                bad.append((op, v, w, g))
+    assert not bad, f"{len(bad)} divergences: {bad[:6]}"
