@@ -345,8 +345,11 @@ _reg(TIME + "localTime", "compute",
      raw_args=(0,))
 
 # --- list (SURVEY §2.8 table 4; list/*.rb)
-_reg(LIST + "first", "compute_list", lambda arr: F.element_at(arr, 1))
-_reg(LIST + "last", "compute_list", lambda arr: F.element_at(arr, -1))
+# try_element_at: an EMPTY list yields null (no solution, matching the
+# driver) — ANSI element_at would raise INVALID_ARRAY_INDEX and kill
+# the whole job on one empty-list row
+_reg(LIST + "first", "compute_list", lambda arr: F.try_element_at(arr, F.lit(1)))
+_reg(LIST + "last", "compute_list", lambda arr: F.try_element_at(arr, F.lit(-1)))
 _reg(LIST + "length", "compute_list", F.size)
 _reg(LIST + "append", "compute_list", F.flatten)
 _reg(LIST + "member", "enum", lambda arr: arr)

@@ -205,3 +205,20 @@ def test_trig_layers_agree(spark):
             elif w is not None and abs(g - w) > 1e-9 * max(1.0, abs(w)):
                 bad.append((op, v, w, g))
     assert not bad, f"{len(bad)} divergences: {bad[:6]}"
+
+
+def test_list_ops_tolerate_empty_lists(spark):
+    """list:first/last on an EMPTY list: null (no solution, like the
+    driver's empty result) — ANSI element_at would raise mid-job."""
+    from rdf_n3_spark.functions.builtins import LIST
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["x"]), (3, [])],
+        "id long, arr array<string>",
+    )
+    first = {r["id"]: r["v"] for r in
+             apply_builtins(df, [("?arr", LIST + "first", "?v")]).collect()}
+    last = {r["id"]: r["v"] for r in
+            apply_builtins(df, [("?arr", LIST + "last", "?v")]).collect()}
+    assert first == {1: "a", 2: "x", 3: None}
+    assert last == {1: "c", 2: "x", 3: None}
