@@ -57,8 +57,10 @@ def lex(c: Column) -> Column:
 
 def as_num(c: Column) -> Column:
     """Permissive numeric coercion (extensions.rb:90-99): non-numeric
-    lexicals cast to NULL→0.0, mirroring the reference's `else 0`."""
-    return F.coalesce(lex(c).cast("double"), F.lit(0.0))
+    lexicals → 0.0, mirroring the reference's `else 0`. try_cast, not
+    cast — under ANSI mode a plain cast of one malformed lexical would
+    raise CAST_INVALID_INPUT and kill the whole job."""
+    return F.coalesce(lex(c).try_cast("double"), F.lit(0.0))
 
 
 def as_str(c: Column) -> Column:
@@ -107,8 +109,8 @@ def _remainder_col(a, b):
     (math/remainder.rb:17-31): non-integer operands or a zero divisor
     yield null (no solution) instead of truncating or raising the ANSI
     REMAINDER_BY_ZERO error mid-job."""
-    al = a.cast("long")
-    bl = F.nullif(b.cast("long"), F.lit(0))
+    al = a.try_cast("long")  # try_cast: a magnitude beyond int64 → null, not an ANSI error
+    bl = F.nullif(b.try_cast("long"), F.lit(0))
     integral = (a == al.cast("double")) & (b == bl.cast("double"))
     return F.when(
         integral, al - bl * F.floor(al.cast("double") / bl.cast("double")).cast("long")
@@ -392,7 +394,7 @@ SQL_INVERSES: dict[str, object] = {
     MATH + "atanh": _n(lambda o: _finite(F.tanh(o))),
     # epoch seconds → dateTime lexical (time/in_seconds.rb:17-41 object branch)
     TIME + "inSeconds": lambda o: F.date_format(
-        F.to_timestamp(as_num(o).cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        F.to_timestamp(as_num(o).try_cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"
     ),
 }
 

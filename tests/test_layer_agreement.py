@@ -222,3 +222,15 @@ def test_list_ops_tolerate_empty_lists(spark):
             apply_builtins(df, [("?arr", LIST + "last", "?v")]).collect()}
     assert first == {1: "a", 2: "x", 3: None}
     assert last == {1: "c", 2: "x", 3: None}
+
+
+def test_non_numeric_lexicals_coerce_to_zero(spark):
+    """Permissive numeric coercion (extensions.rb:90-99): a malformed
+    numeric lexical is 0, never a job-killing ANSI cast error."""
+    df = spark.createDataFrame([("abc",), ("12",), ("1.5e3",), ("",), ("12x",)], ["a"])
+    sol = apply_builtins(df, [("?a", MATH + "negation", "?n")])
+    got = {r["a"]: r["n"] for r in sol.collect()}
+    assert got == {"abc": -0.0, "12": -12.0, "1.5e3": -1500.0, "": -0.0, "12x": -0.0}
+    for a, n in got.items():
+        want = float(as_number(f'"{a}"'))
+        assert n == -want
