@@ -147,8 +147,11 @@ def simhash_buckets(documents: DataFrame) -> DataFrame:
 
 def quantize(col, scale: int = 1000):
     """float embedding → int array; integer dot products are exact and
-    identical across engines (double sums are order-sensitive)."""
-    return F.transform(col, lambda x: F.round(x * scale).cast("bigint"))
+    identical across engines (double sums are order-sensitive).
+    try_cast: a poisoned component (NaN/Inf/overflow) nulls out instead
+    of raising the ANSI cast error mid-job — the null then propagates
+    to a null similarity, which every threshold/rank filter drops."""
+    return F.transform(col, lambda x: F.round(x * scale).try_cast("bigint"))
 
 
 #: random-hyperplane LSH defaults: BANDS_E band keys of BITS_E sign bits
@@ -193,7 +196,9 @@ def lsh_band_keys(qcol, bands: int = BANDS_E, bits: int = BITS_E,
     for b in range(bands):
         chars = []
         for j in range(bits):
-            dot = _reduce(_add, [F.element_at(qcol, i + 1) * W[b][j][i]
+            # try_element_at: a short vector yields null terms → null
+            # dot → '0' bit (deterministic bucket, no ANSI index error)
+            dot = _reduce(_add, [F.try_element_at(qcol, F.lit(i + 1)) * W[b][j][i]
                                  for i in range(dims)])
             chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         keys.append(F.concat(F.lit(f"{b}|"), *chars))

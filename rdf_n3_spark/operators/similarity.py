@@ -73,7 +73,10 @@ def sign_bucket(col, dims: int = 6):
     return F.concat_ws(
         "",
         *[
-            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            # try_element_at: short vectors get '0' bits instead of an
+            # ANSI INVALID_ARRAY_INDEX error killing the job
+            F.when(F.try_element_at(col, F.lit(i + 1)) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
             for i in range(dims)
         ],
     )
