@@ -432,7 +432,11 @@ class Reasoner:
                 if val is None:
                     return []
                 return self._bind_or_compare(ov, val, sol)
-        except (ValueError, ZeroDivisionError, OverflowError, ArithmeticError):
+        except (ValueError, ZeroDivisionError, OverflowError,
+                ArithmeticError, TypeError, IndexError):
+            # untrusted data feeding a builtin (e.g. string:format with
+            # mismatched directives) → no solution, never a crash —
+            # matching the distributed twin's null-on-error UDF
             return []
         return None
 

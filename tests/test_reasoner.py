@@ -194,3 +194,17 @@ def test_log_supports_closure_then_includes():
         "{ { :a :b :c } log:supports { :d :e :f } } => { :ok :is :FAILURE } ."
     )).execute()
     assert not r2.inferred
+
+
+def test_builtin_format_type_mismatch_filters():
+    """string:format with a %d directive and a non-numeric argument is
+    a no-solution, not a crash (matches the distributed UDF's
+    null-on-error)."""
+    r = Reasoner(parse_n3(
+        '@prefix s: <http://www.w3.org/2000/10/swap/string#>. @prefix : <http://ex/>.'
+        '{ ("%d" "five") s:format ?x } => { :r :is :FAILURE } .'
+        '{ ("ok %s" "yes") s:format ?y } => { :r :got ?y } .'
+    )).execute()
+    objs = {(q[1], q[2]) for q in r.inferred}
+    assert ('<http://ex/got>', '"ok yes"') in objs
+    assert not any(o == '<http://ex/FAILURE>' for _, o in objs)
