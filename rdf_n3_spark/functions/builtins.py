@@ -69,10 +69,10 @@ def enc_number(v) -> str:
     if isinstance(v, int):
         return f'"{v}"^^<{XSD}integer>'
     if isinstance(v, Decimal):
-        if v == v.to_integral_value():
-            # cwm prints whole decimals bare; keep one decimal place off
-            return f'"{v.normalize()}"^^<{XSD}decimal>'
-        return f'"{v.normalize()}"^^<{XSD}decimal>'
+        # format(..., 'f'): Decimal.normalize alone yields exponent
+        # notation for trailing zeros (Decimal('100.0').normalize() ==
+        # Decimal('1E+2')), which is not a valid xsd:decimal lexical
+        return f'"{format(v.normalize(), "f")}"^^<{XSD}decimal>'
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return f'"{v:.1f}"^^<{XSD}double>'

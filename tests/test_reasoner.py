@@ -208,3 +208,17 @@ def test_builtin_format_type_mismatch_filters():
     objs = {(q[1], q[2]) for q in r.inferred}
     assert ('<http://ex/got>', '"ok yes"') in objs
     assert not any(o == '<http://ex/FAILURE>' for _, o in objs)
+
+
+def test_decimal_encoding_has_no_exponent():
+    """xsd:decimal lexicals forbid exponent notation; whole-valued
+    Decimals (e.g. 99.5 + 0.5) must encode as plain digits, not 1E+2."""
+    from decimal import Decimal
+
+    from rdf_n3_spark.functions.builtins import MATH, REGISTRY, enc_number
+
+    assert enc_number(Decimal("100.0")) == \
+        '"100"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+    _, fn = REGISTRY[MATH + "sum"]
+    assert fn('"99.5"', '"0.5"') == \
+        '"100"^^<http://www.w3.org/2001/XMLSchema#decimal>'
