@@ -111,3 +111,33 @@ def test_fixpoint_mutually_recursive_rules(spark):
         ("n0", "odd"), ("n1", "even"), ("n2", "odd"),
         ("n3", "even"), ("n4", "odd"), ("n5", "even"),
     }
+
+
+def test_rule_engines_agree_on_closure(spark):
+    """The driver Reasoner (per-document path) and the distributed
+    semi-naive fixpoint (corpus path) must derive the SAME closure from
+    the same facts and rule — the two-scales-one-semantics contract."""
+    import random
+
+    from rdf_n3_spark.functions.n3_parser import parse_n3
+    from rdf_n3_spark.plans.reason import Reasoner
+
+    rng = random.Random(7)
+    edges = sorted({(f"n{rng.randrange(12)}", f"n{rng.randrange(12)}")
+                    for _ in range(18)})
+    n3 = ("@prefix : <http://ex/>.\n"
+          "{ ?x :e ?y . ?y :e ?z } => { ?x :e ?z } .\n"
+          + "\n".join(f":{a} :e :{b} ." for a, b in edges))
+    r = Reasoner(parse_n3(n3)).execute(think=True)
+    driver_closure = {
+        (s.rsplit("/", 1)[-1].rstrip(">"), o.rsplit("/", 1)[-1].rstrip(">"))
+        for s, p, o, g in r.kb if g == "" and p == "<http://ex/e>"
+    }
+
+    df = spark.createDataFrame([(a, ":e", b) for a, b in edges],
+                               "s string, p string, o string")
+    rule = Rule(antecedent=(("?x", ":e", "?y"), ("?y", ":e", "?z")),
+                consequent=(("?x", ":e", "?z"),))
+    dist_closure = {(row["s"], row["o"]) for row in
+                    fixpoint(df, [rule]).select("s", "o").collect()}
+    assert dist_closure == driver_closure
