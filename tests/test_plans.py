@@ -61,3 +61,15 @@ def test_mention_aggregation_has_partial_agg(spark):
     m = extract_mentions(transcripts(spark, SF_SMOKE))
     plan = _plan(entity_triples(m))
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_ann_topk_partial_prunes_before_window(spark):
+    """The exact partial path must show the Arrow-batched per-partition
+    prune (MapInPandas) feeding the rank window — the shape that cuts
+    shuffle from |Q|×|corpus| to parts×|Q|×k."""
+    from rdf_n3_spark.operators.similarity import ann_topk_partial
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(ann_topk_partial(emb, k=5))
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")  # window consumes the prune
