@@ -121,14 +121,22 @@ keyed AS (
     '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS band_key
   FROM sig
 ),
-small AS (
-  SELECT band_key FROM keyed GROUP BY band_key HAVING count(*) <= 32
+cnt AS (
+  SELECT band_key, count(*) AS n, min(surface) AS bucket_min
+  FROM keyed GROUP BY band_key
 ),
-kept AS (SELECT k.* FROM keyed k JOIN small USING (band_key)),
+kept AS (SELECT k.* FROM keyed k JOIN cnt c USING (band_key) WHERE c.n <= 32),
 cand AS (
-  SELECT DISTINCT l.surface AS a, r.surface AS b
-  FROM kept l JOIN kept r USING (band_key)
-  WHERE l.surface < r.surface
+  SELECT DISTINCT a, b FROM (
+    SELECT l.surface AS a, r.surface AS b
+    FROM kept l JOIN kept r USING (band_key)
+    WHERE l.surface < r.surface
+    UNION ALL
+    -- hot-bucket star-collapse (mirrors canon.lsh_candidate_pairs)
+    SELECT c.bucket_min AS a, k.surface AS b
+    FROM keyed k JOIN cnt c USING (band_key)
+    WHERE c.n > 32 AND k.surface > c.bucket_min
+  )
 ),
 ver AS (
   SELECT a, b FROM cand
@@ -188,11 +196,21 @@ keyed AS (
     '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS band_key
   FROM sig
 ),
-small AS (SELECT band_key FROM keyed GROUP BY band_key HAVING count(*) <= 32),
-kept AS (SELECT k.* FROM keyed k JOIN small USING (band_key)),
+cnt AS (
+  SELECT band_key, count(*) AS n, min(doc_id) AS bucket_min
+  FROM keyed GROUP BY band_key
+),
+kept AS (SELECT k.* FROM keyed k JOIN cnt c USING (band_key) WHERE c.n <= 32),
 cand AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM kept l JOIN kept r USING (band_key) WHERE l.doc_id < r.doc_id
+  SELECT DISTINCT a, b FROM (
+    SELECT l.doc_id AS a, r.doc_id AS b
+    FROM kept l JOIN kept r USING (band_key) WHERE l.doc_id < r.doc_id
+    UNION ALL
+    -- hot-bucket star-collapse (mirrors dedup.minhash_neardup_pairs)
+    SELECT c.bucket_min AS a, k.doc_id AS b
+    FROM keyed k JOIN cnt c USING (band_key)
+    WHERE c.n > 32 AND k.doc_id > c.bucket_min
+  )
 ),
 ver AS (
   SELECT a, b FROM cand

@@ -45,66 +45,88 @@ def shingle_col(col, n: int = 3):
     )
 
 
-def minhash_signatures(surfaces: DataFrame, col: str = "surface") -> DataFrame:
-    """(surface) → (surface, h0..h7) minhash signature."""
+def minhash_signatures(surfaces: DataFrame, col: str = "surface",
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """(surface) → (surface, h0..h{n-1}) minhash signature."""
     sh = surfaces.select(
         col, F.explode(shingle_col(F.col(col))).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     ]
     return sh.groupBy(col).agg(*aggs)
 
 
-MAX_BUCKET = 32  # hot-bucket pruning threshold
+MAX_BUCKET = 32  # hot-bucket star-collapse threshold
 
 
-def lsh_candidate_pairs(surfaces: DataFrame, col: str = "surface") -> DataFrame:
+def lsh_candidate_pairs(surfaces: DataFrame, col: str = "surface",
+                        n_hashes: int = N_HASHES, bands: int = BANDS,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
     """LSH banding: (a, b) candidate pairs with a < b.
 
-    **Hot-bucket pruning**: band buckets larger than MAX_BUCKET are
-    dropped before the self-join. A bucket holding a large fraction of
-    the corpus means that band is non-discriminative (shared prefixes
-    / boilerplate shingles) and would turn the self-join quadratic —
-    the single worst skew failure of LSH at 100 TB. Pruning is
-    deterministic (a pure count filter), so the DuckDB oracle mirrors
-    it exactly; true near-duplicates still collide in their
-    discriminative bands."""
-    sig = minhash_signatures(surfaces, col)
-    rows_per_band = N_HASHES // BANDS
-    bands = F.array(
+    **Hot-bucket star-collapse**: band buckets larger than
+    ``max_bucket`` do NOT enter the pairwise self-join (which would be
+    quadratic in the bucket size — the single worst skew failure of
+    LSH at 100 TB).  Instead each oversized bucket emits *star edges*
+    ``(bucket-min id, member)`` — linear in the bucket size and
+    skew-bounded.  A ≥ max_bucket-copy near-duplicate template family
+    agrees with its copies on EVERY band, so all of its buckets are
+    hot; dropping them (the former behavior) lost precisely the
+    highest-value dedup clusters.  With star edges the downstream
+    exact-Jaccard verify still runs pair-by-pair, and connected
+    components still merges the whole cluster through the hub.
+    Truly non-discriminative buckets (boilerplate shingles gluing
+    *unrelated* docs) cost only a linear verify pass and are then
+    discarded by the verify.  Deterministic (pure count + min), so the
+    DuckDB oracle mirrors it exactly.
+
+    Plan shape: one groupBy computes bucket (count, min) once; hot keys
+    are rare by construction (≤ |rows|/max_bucket) so they broadcast,
+    and the pairwise side excludes them with a broadcast anti-join —
+    nothing large is ever broadcast."""
+    sig = minhash_signatures(surfaces, col, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_arr = F.array(
         *[
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
                 *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
             )
-            for b in range(BANDS)
+            for b in range(bands)
         ]
     )
-    keyed = sig.select(F.col(col), F.explode(bands).alias("band_key"))
-    small = (
+    keyed = sig.select(F.col(col), F.explode(band_arr).alias("band_key"))
+    hot = (
         keyed.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") <= MAX_BUCKET)
-        .select("band_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(col).alias("bucket_min"))
+        .where(F.col("n") > max_bucket)
+        .select("band_key", "bucket_min")
     )
-    keyed = keyed.join(F.broadcast(small), "band_key")
-    left = keyed.alias("l")
-    right = keyed.alias("r")
-    return (
+    kept = keyed.join(F.broadcast(hot.select("band_key")), "band_key", "left_anti")
+    left = kept.alias("l")
+    right = kept.alias("r")
+    pairwise = (
         left.join(right, on="band_key")
         .where(F.col(f"l.{col}") < F.col(f"r.{col}"))
         .select(F.col(f"l.{col}").alias("a"), F.col(f"r.{col}").alias("b"))
-        .distinct()
     )
+    star = (
+        keyed.join(F.broadcast(hot), "band_key")
+        .where(F.col(col) > F.col("bucket_min"))
+        .select(F.col("bucket_min").alias("a"), F.col(col).alias("b"))
+    )
+    return pairwise.unionByName(star).distinct()
 
 
 def verified_pairs(surfaces: DataFrame, col: str = "surface",
-                   threshold: float = 0.9) -> DataFrame:
+                   threshold: float = 0.9,
+                   n_hashes: int = N_HASHES, bands: int = BANDS,
+                   max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Candidate pairs filtered by exact shingle Jaccard ≥ threshold."""
-    pairs = lsh_candidate_pairs(surfaces, col)
+    pairs = lsh_candidate_pairs(surfaces, col, n_hashes, bands, max_bucket)
     sh = surfaces.select(F.col(col), shingle_col(F.col(col)).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed(col, "a").withColumnRenamed("sh", "sha"), "a")

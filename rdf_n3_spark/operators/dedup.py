@@ -53,7 +53,7 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_cols():
+def minhash_cols(n_hashes: int = N_HASHES):
     """Per-row minhash signature columns over a bound ``sh`` array —
     ``array_min(transform(...))`` is a per-row scan, so the signature
     needs NO shingle explode and NO groupBy shuffle (the former
@@ -62,7 +62,7 @@ def minhash_cols():
         F.array_min(
             F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit(f"{i}|"), x)))
         ).alias(f"h{i}")
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     ]
 
 
@@ -78,32 +78,47 @@ def doc_shingles(documents: DataFrame) -> DataFrame:
     return toks.select(F.col("doc_id"), shingles_of_tokens(F.col("toks")).alias("sh"))
 
 
-def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
+                          n_hashes: int = N_HASHES, bands: int = BANDS,
+                          max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(a, b) near-duplicate doc_id pairs: LSH blocking + exact word-
-    shingle Jaccard ≥ threshold. Same skeleton as entity canon; the
-    hot-bucket prune bounds the self-join at any corpus size."""
+    shingle Jaccard ≥ threshold. Same skeleton as entity canon,
+    including the hot-bucket star-collapse: a band bucket larger than
+    ``max_bucket`` skips the quadratic pairwise self-join and instead
+    emits linear star edges (bucket-min doc_id, member), so a
+    template duplicated ≥ max_bucket times — whose copies agree on
+    EVERY band — still reaches the exact verify and dedups, while the
+    self-join stays skew-bounded at any corpus size (see
+    canon.lsh_candidate_pairs for the full rationale)."""
     shs = doc_shingles(documents)
-    sig = shs.select("doc_id", *minhash_cols())
-    rpb = N_HASHES // BANDS
-    bands = F.array(
+    sig = shs.select("doc_id", *minhash_cols(n_hashes))
+    rpb = n_hashes // bands
+    band_arr = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)),
                         *[F.col(f"h{b * rpb + r}") for r in range(rpb)])
-            for b in range(BANDS)
+            for b in range(bands)
         ]
     )
-    keyed = sig.select("doc_id", F.explode(bands).alias("band_key"))
-    small = (
-        keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") <= MAX_BUCKET).select("band_key")
+    keyed = sig.select("doc_id", F.explode(band_arr).alias("band_key"))
+    hot = (
+        keyed.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("bucket_min"))
+        .where(F.col("n") > max_bucket)
+        .select("band_key", "bucket_min")
     )
-    keyed = keyed.join(F.broadcast(small), "band_key")
-    cand = (
-        keyed.alias("l").join(keyed.alias("r"), "band_key")
+    kept = keyed.join(F.broadcast(hot.select("band_key")), "band_key", "left_anti")
+    pairwise = (
+        kept.alias("l").join(kept.alias("r"), "band_key")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
     )
+    star = (
+        keyed.join(F.broadcast(hot), "band_key")
+        .where(F.col("doc_id") > F.col("bucket_min"))
+        .select(F.col("bucket_min").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = pairwise.unionByName(star).distinct()
     j = (
         cand.join(shs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
         .join(shs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
