@@ -32,7 +32,12 @@ from rdf_n3_spark.operators.multimodal import (
     frame_sample_plan,
     media_metadata,
 )
-from rdf_n3_spark.operators.similarity import ann_topk, ann_topk_partial, ivf_topk
+from rdf_n3_spark.operators.similarity import (
+    ann_topk,
+    ann_topk_exact_oracle,
+    ann_topk_partial,
+    ivf_topk,
+)
 from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
@@ -344,8 +349,9 @@ keys AS (
 )
 """
 
-# exact brute-force top-k — shared by ann_topk (window plan) and
-# ann_topk_partial (per-partition pre-aggregated plan): same results
+# exact brute-force top-k — shared by ann_topk / ann_topk_partial (the
+# default per-partition pre-aggregated plan) and ann_topk_exact_oracle
+# (window-only brute force): all three return identical rows
 _ANN_TOPK_SQL = f"""
     {_QEMB},
     scored AS (
@@ -819,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
         "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
         "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
+        "ann_topk_exact_oracle": lambda s, d: ann_topk_exact_oracle(_embs(s, d)),
         "ann_topk_partial": lambda s, d: ann_topk_partial(_embs(s, d)),
         "ann_ivf": lambda s, d: ivf_topk(_embs(s, d)),
         "ann_ivf_multiprobe": lambda s, d: ivf_topk(_embs(s, d), hamming=1),
@@ -1236,6 +1243,7 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         """,
         "ann_topk_partial": _ANN_TOPK_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "ann_topk_exact_oracle": _ANN_TOPK_SQL,
         "ann_ivf": f"""
             {_QEMB},
             scored AS (

@@ -1,15 +1,16 @@
 """Similarity search over embedding columns.
 
-* ``ann_topk`` — brute-force quantized-cosine top-k (the exact
-  baseline). Query side broadcast, corpus side streamed: at 100 TB the
-  corpus never shuffles — but the scored rows do (|Q|×|corpus| through
-  the rank window), so this is the ORACLE shape, not the serving path.
-* ``ann_topk_partial`` — the exact path that survives scale: scoring
-  stays identical (JVM Column expressions), then a per-partition
-  partial top-k (Arrow-batched heap — comparisons only, no arithmetic,
-  so results are bit-identical) reduces each partition to ≤ |Q|·k rows
-  BEFORE the global rank window.  Shuffle volume drops from
-  |Q|×|corpus| to parts×|Q|×k.
+* ``ann_topk`` — THE default exact top-k (alias of
+  ``ann_topk_partial``): scoring is pure JVM Column expressions, then
+  a per-partition partial top-k (Arrow-batched — comparisons only, no
+  arithmetic, so results are bit-identical) reduces each partition to
+  ≤ |Q|·k rows BEFORE the global rank window.  Shuffle volume is
+  parts×|Q|×k, never |Q|×|corpus|.
+* ``ann_topk_exact_oracle`` — the brute-force window-only shape kept
+  ONLY as the correctness oracle: same scoring, but all |Q|×|corpus|
+  scored rows go through the rank-window shuffle. Do not serve from
+  this; it exists so tests can diff the partial plan against an
+  independently-shaped exact baseline.
 * ``ivf_topk`` — the approximate scale path: deterministic sign-bucket
   coarse quantization (hyperoctant IVF). Corpus is bucketed once by
   the sign pattern of its leading dimensions; a query probes its own
@@ -46,8 +47,13 @@ def _cos(ea, eb):
     return dot / (norm(ea) * norm(eb))
 
 
-def ann_topk(embeddings: DataFrame, k: int = 10, max_query_id: int = 20) -> DataFrame:
-    """(q, rank, vec_id, cos) — exact top-k by cosine per query vector."""
+def ann_topk_exact_oracle(embeddings: DataFrame, k: int = 10,
+                          max_query_id: int = 20) -> DataFrame:
+    """(q, rank, vec_id, cos) — exact top-k by cosine per query vector.
+
+    ORACLE shape: the full |Q|×|corpus| scored stream is shuffled
+    through the rank window. Use :func:`ann_topk` (the partial-top-k
+    plan, identical results) as the serving path."""
     q = embeddings.select(
         F.col("vec_id").alias("q"), quantize(F.col("embedding")).alias("eq")
     ).where(F.col("q") < max_query_id)
@@ -180,3 +186,8 @@ def ann_topk_partial(embeddings: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .select("q", "rank", "vec_id", "cos")
     )
+
+
+#: default export — exact results, scale-safe shuffle. The window-only
+#: brute-force twin stays available as :func:`ann_topk_exact_oracle`.
+ann_topk = ann_topk_partial

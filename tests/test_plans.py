@@ -64,12 +64,12 @@ def test_mention_aggregation_has_partial_agg(spark):
 
 
 def test_ann_topk_partial_prunes_before_window(spark):
-    """The exact partial path must show the Arrow-batched per-partition
-    prune (MapInPandas) feeding the rank window — the shape that cuts
-    shuffle from |Q|×|corpus| to parts×|Q|×k."""
-    from rdf_n3_spark.operators.similarity import ann_topk_partial
+    """The DEFAULT ann_topk export must show the Arrow-batched
+    per-partition prune (MapInPandas) feeding the rank window — the
+    shape that cuts shuffle from |Q|×|corpus| to parts×|Q|×k."""
+    from rdf_n3_spark.operators.similarity import ann_topk
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    plan = _plan(ann_topk_partial(emb, k=5))
+    plan = _plan(ann_topk(emb, k=5))
     assert "MapInPandas" in plan
     assert plan.index("Window") < plan.index("MapInPandas")  # window consumes the prune

@@ -97,7 +97,18 @@ def test_probe_buckets_shape(spark):
 
 
 def test_ann_topk_partial_matches_exact(spark):
+    """The default ann_topk (partial plan) must be bit-identical to the
+    independently-shaped window-only oracle."""
+    from rdf_n3_spark.operators.similarity import ann_topk_exact_oracle
+
     emb = _embs(spark)
-    base = sorted(tuple(r) for r in ann_topk(emb, k=10).collect())
-    part = sorted(tuple(r) for r in ann_topk_partial(emb, k=10).collect())
+    base = sorted(tuple(r) for r in ann_topk_exact_oracle(emb, k=10).collect())
+    part = sorted(tuple(r) for r in ann_topk(emb, k=10).collect())
     assert part == base
+
+
+def test_ann_topk_default_is_scale_safe():
+    """The caller-facing export must resolve to the partial-top-k plan;
+    the crossJoin-all-pairs variant is reachable only under the
+    explicit *_exact_oracle name."""
+    assert ann_topk is ann_topk_partial
