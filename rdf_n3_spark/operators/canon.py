@@ -140,18 +140,39 @@ def verified_pairs(surfaces: DataFrame, col: str = "surface",
     return j.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         pointer_jump: bool | str = "auto") -> DataFrame:
     """(a, b) undirected edges → (node, comp) with comp = min node id
     reachable. Iterative min-label propagation WITH pointer-jumping:
     each round (a) takes the min over neighbors' labels, then (b)
     shortcuts every label through its own label (comp ← comp[comp]),
     so label paths halve per round and convergence is O(log diameter)
-    — a 2^25-hop chain converges inside the default max_iter, where
-    plain neighbor propagation needs diameter rounds and would return
-    UNCONVERGED labels silently on a deep chain
-    (tests/test_canon_components.py stresses exactly that).  Each round
-    is two shuffles (neighbor groupBy-min + label self-join);
-    ``localCheckpoint`` truncates lineage so the plan stays flat."""
+    — a deep chain converges inside the default max_iter, where plain
+    neighbor propagation needs diameter rounds and would return
+    UNCONVERGED labels silently
+    (tests/test_canon_components.py stresses exactly that).
+
+    **One driver action per round**: the previous label rides through
+    the round's own aggregation as an ``old`` column, so convergence is
+    read off the same materialized result that the next round consumes
+    — no separate changed-join + count job. The per-round checkpoints
+    are *lazy*: the single ``first()`` on the round's change-count both
+    materializes the checkpointed labels (truncating lineage for the
+    next round) and returns the convergence signal
+    (tests/test_canon_components.py::test_one_action_per_round pins
+    this).
+
+    ``pointer_jump``: ``True`` = jump every round, ``False`` = never
+    (the A/B measurement knob), ``"auto"`` (default) = *stall-
+    triggered*: plain propagation until a round's change count fails
+    to halve — shallow similarity clusters (the overwhelmingly common
+    shape) collapse in 2-3 rounds with their deltas crashing, so they
+    never pay the jump's self-join (measured 12% of end-to-end
+    entity_canon, bench_canon_ab.py), while a long label chain keeps
+    its delta nearly flat, trips the stall detector by round 3, and
+    converges in O(log diameter) from there. The trigger is a ratio of
+    the loop's own change counts — no absolute thresholds to re-tune
+    at 1000× the data — and sticky once tripped."""
     sym = (
         edges.select("a", "b")
         .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -163,55 +184,72 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    null_comp = F.lit(None).cast(dict(labels.dtypes)["comp"])
+    prev = prev2 = None  # change counts of the last two rounds
+    stalled = False
     for _ in range(max_iter):
-        # candidate label for each node: min over neighbors' comps
+        if pointer_jump == "auto":
+            stalled = stalled or (
+                prev is not None and prev2 is not None and prev > prev2 / 2
+            )
+            do_jump = stalled
+        else:
+            do_jump = bool(pointer_jump)
+        # candidate label for each node: min over (own ∪ neighbors')
+        # comps; ``old`` (the node's previous label) rides along — only
+        # the own-row carries it, min() ignores the neighbor nulls
         nbr = (
             sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), F.col("comp"))
+            .select(F.col("a").alias("node"), F.col("comp"),
+                    null_comp.alias("old"))
         )
         new = (
-            labels.select("node", "comp")
-            .union(nbr)
+            labels.select("node", "comp", F.col("comp").alias("old"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            # checkpoint BEFORE the self-join below: truncating here
-            # both flattens lineage and sidesteps Catalyst's
-            # Union-constraint rewrite on self-joined union plans
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
+            # lazy checkpoint BEFORE the self-join below: the truncated
+            # plan both stays flat and sidesteps Catalyst's
+            # Union-constraint rewrite on self-joined union plans;
+            # materialization happens inside this round's single action
+            .localCheckpoint(eager=False)
         )
-        # pointer-jump: follow the label one step (comp is itself a
-        # node id, so map it through the fresh labels) — this is the
-        # path-halving that turns O(diameter) into O(log diameter).
-        # No second checkpoint: the pre-join checkpoint above already
-        # bounds lineage, and the label table is tiny next to the edge
-        # set, so recomputing this one join per consumer is cheaper
-        # than materializing it every round.
+        if do_jump:
+            # pointer-jump: follow the label one step (comp is itself a
+            # node id, so map it through the fresh labels) — this is
+            # the path-halving that turns O(diameter) into O(log
+            # diameter).
+            new = (
+                new.alias("x")
+                .join(new.select(F.col("node").alias("comp"),
+                                 F.col("comp").alias("jcomp")).alias("y"),
+                      "comp", "left")
+                .select("node",
+                        F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+                        "old")
+            )
         new = (
-            new.alias("x")
-            .join(new.select(F.col("node").alias("comp"),
-                             F.col("comp").alias("jcomp")).alias("y"), "comp", "left")
-            .select("node", F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"))
+            new.withColumn("chg", F.col("comp") != F.col("old"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        # the round's ONE action: materializes both lazy checkpoints
+        # and returns the change count in the same job
+        changed = new.agg(F.count_if("chg").alias("n")).first()["n"]
+        labels = new.select("node", "comp")
+        prev, prev2 = changed, prev
         if changed == 0:
             break
     return labels
 
 
-def canonical_map(mentions: DataFrame, threshold: float = 0.9) -> DataFrame:
+def canonical_map(mentions: DataFrame, threshold: float = 0.9,
+                  pointer_jump: bool | str = "auto") -> DataFrame:
     """mentions → (surface, canon) where canon = lexicographic min
     surface of the similarity cluster. Singleton surfaces map to
     themselves."""
     surfaces = mentions.select("surface").distinct()
     pairs = verified_pairs(surfaces, threshold=threshold)
-    comp = connected_components(pairs.select("a", "b"))
+    comp = connected_components(pairs.select("a", "b"), pointer_jump=pointer_jump)
     # comp labels are min node ids already = canonical surface
     return (
         surfaces.join(comp, surfaces.surface == comp.node, "left")

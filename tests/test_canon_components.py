@@ -48,3 +48,53 @@ def test_two_chains_merge_via_bridge(spark):
     bridge = [("a5", "z0")]
     comp = connected_components(_edges(spark, left + right + bridge))
     assert {r["comp"] for r in comp.collect()} == {"a0"}
+
+
+def test_one_action_per_round(spark, monkeypatch):
+    """VERDICT r2 #8: the convergence check must not cost an extra
+    Spark job — each round's single first() on the folded change-count
+    both materializes the lazy-checkpointed labels and returns the
+    convergence signal. Any count()/isEmpty() inside the loop is a
+    regression to the two-action round."""
+    # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame
+    # methods through classic.dataframe.DataFrame overrides)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("extra driver action inside the CC loop")
+
+    firsts = []
+    orig_first = DataFrame.first
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "isEmpty", boom)
+    monkeypatch.setattr(DataFrame, "first",
+                        lambda self: (firsts.append(1), orig_first(self))[1])
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)]
+    comp = connected_components(_edges(spark, chain), max_iter=10)
+    monkeypatch.undo()
+    by = {r["node"]: r["comp"] for r in comp.collect()}
+    assert all(v == "n00" for v in by.values())
+    # one first() per executed round, nothing else
+    assert 1 <= len(firsts) <= 10
+
+
+def test_pointer_jump_off_still_converges_shallow(spark):
+    """The A/B knob: plain propagation (pointer_jump=False) must still
+    fully converge on shallow graphs within max_iter."""
+    hub = [("hub", f"s{i:02d}") for i in range(40)]
+    comp = connected_components(_edges(spark, hub), max_iter=25,
+                                pointer_jump=False)
+    by = {r["node"]: r["comp"] for r in comp.collect()}
+    assert all(v == "hub" for v in by.values())
+
+
+def test_auto_jump_trips_on_deep_chain(spark):
+    """auto mode must detect the stalled delta of a deep chain and
+    converge within the same bound as always-jump (well under the
+    diameter)."""
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(99)]
+    comp = connected_components(_edges(spark, chain), max_iter=12,
+                                pointer_jump="auto")
+    by = {r["node"]: r["comp"] for r in comp.collect()}
+    assert all(v == "n000" for v in by.values())
