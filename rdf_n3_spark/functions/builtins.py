@@ -188,9 +188,13 @@ def _exponentiation(elems):
 
 
 _reg(MATH + "exponentiation", "compute_list_whole", _exponentiation)
-# floor division in BOTH layers (Decimal // would truncate toward zero)
+# floor division in BOTH layers. int pairs stay on exact int floor
+# division (``//``); routing them through float true-division would
+# lose exactness beyond 2^53. Only Decimal/float need the
+# floor-of-true-division form (Decimal ``//`` truncates toward zero).
 _reg(MATH + "integerQuotient", "compute_list",
-     _numeric_op(lambda a, b: int(_math.floor(a / b))))
+     _numeric_op(lambda a, b: a // b if isinstance(a, int) and isinstance(b, int)
+                 else int(_math.floor(a / b))))
 # negation is self-inverse: object-ground + subject-var binds the
 # subject with the same computation (resource_operator.rb:45-47)
 _reg(MATH + "negation", "compute_invertible",

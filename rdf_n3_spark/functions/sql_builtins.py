@@ -104,20 +104,27 @@ def _finite(col: Column) -> Column:
 _reg(MATH + "difference", "compute_pair", _n(lambda a, b: a - b))
 # x/0 → null (driver: ZeroDivisionError filters the solution)
 _reg(MATH + "quotient", "compute_pair", _n(lambda a, b: _finite(a / b)))
-def _remainder_col(a, b):
+def _remainder_col(ra, rb):
     """Ruby ``%`` floor-mod over VALIDATED integer operands
     (math/remainder.rb:17-31): non-integer operands or a zero divisor
     yield null (no solution) instead of truncating or raising the ANSI
-    REMAINDER_BY_ZERO error mid-job."""
-    al = a.try_cast("long")  # try_cast: a magnitude beyond int64 → null, not an ANSI error
-    bl = F.nullif(b.try_cast("long"), F.lit(0))
-    integral = (a == al.cast("double")) & (b == bl.cast("double"))
+    REMAINDER_BY_ZERO error mid-job.
+
+    Takes RAW term columns (not ``_n``-coerced): the reference
+    validates the *type* of the operand, so a whole-VALUED decimal
+    lexical like "4.0" must be rejected exactly as the driver registry
+    rejects it (as_number('4.0') is Decimal, not Integer) — gating on
+    value-integrality would accept it and diverge between layers."""
+    la, lb = lex(ra), lex(rb)
+    int_lex = la.rlike(r"^[+-]?[0-9]+$") & lb.rlike(r"^[+-]?[0-9]+$")
+    al = la.try_cast("long")  # try_cast: a magnitude beyond int64 → null, not an ANSI error
+    bl = F.nullif(lb.try_cast("long"), F.lit(0))
     return F.when(
-        integral, al - bl * F.floor(al.cast("double") / bl.cast("double")).cast("long")
+        int_lex, al - bl * F.floor(al.cast("double") / bl.cast("double")).cast("long")
     )
 
 
-_reg(MATH + "remainder", "compute_pair", _n(_remainder_col))
+_reg(MATH + "remainder", "compute_pair", _remainder_col)
 # 0 ** negative / overflow → null (no solution; Java pow gives Inf)
 _reg(MATH + "exponentiation", "compute_pair",
      _n(lambda a, b: _finite(F.when(~((a == 0) & (b < 0)), F.pow(a, b)))))

@@ -18,8 +18,13 @@ import pytest
 from rdf_n3_spark.functions.builtins import MATH, REGISTRY, as_number, literal_parts
 from rdf_n3_spark.functions.sql_builtins import apply_builtins
 
+# "2.0"/"4.0": whole-VALUED decimal lexicals — the reference types them
+# Decimal, so integer-validated ops (math:remainder) must reject them
+# in BOTH layers; gating on value-integrality instead of the lexical
+# form would silently accept them in the distributed layer only.
 VALUES = ["0", "1", "-1", "2", "-2", "7", "-7", "2.5", "-2.5", "0.5",
-          "-0.5", "3.25", "-3.25", "1000000", "-999999", "0.001"]
+          "-0.5", "3.25", "-3.25", "1000000", "-999999", "0.001",
+          "2.0", "4.0", "-6.0"]
 
 PAIR_OPS = ["difference", "quotient", "remainder", "integerQuotient",
             "exponentiation", "sum", "product"]
