@@ -70,7 +70,16 @@ def lang_id(documents: DataFrame) -> DataFrame:
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles
-    (winnowing-style robust fingerprint, stable under local edits)."""
+    (winnowing-style robust fingerprint, stable under local edits).
+
+    No explicit barrier between the token projection and the shingle
+    select: the bound ``__toks`` array is referenced TWICE downstream
+    (size + slice), so CollapseProject declines to duplicate the
+    split() into the HOF lambda — tokenization stays once-per-row.
+    (Single-use projections DO get inlined and re-evaluate per
+    element; see dedup.doc_shingles for that case and its barrier.)
+    The shape is pinned by
+    tests/test_plans.py::test_fingerprint_tokenizes_once_per_row."""
     from rdf_n3_spark.operators.dedup import shingles_of_tokens
 
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")

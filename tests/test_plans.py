@@ -73,3 +73,21 @@ def test_ann_topk_partial_prunes_before_window(spark):
     plan = _plan(ann_topk(emb, k=5))
     assert "MapInPandas" in plan
     assert plan.index("Window") < plan.index("MapInPandas")  # window consumes the prune
+
+
+def test_fingerprint_tokenizes_once_per_row(spark):
+    """ADVICE r2: fingerprint() binds tokens with a chained select and
+    no explicit barrier — safe ONLY because the bound array is
+    referenced twice (size + slice), which stops CollapseProject from
+    inlining the split() into the shingle lambda (single-use
+    projections DO get inlined into HOF lambdas and re-evaluate per
+    element — see dedup.doc_shingles). Pin the shape: the lambda must
+    slice the bound attribute, never a split() call, and split() must
+    appear exactly once (in the child projection)."""
+    from rdf_n3_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = fingerprint(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice(split" not in plan  # per-shingle re-tokenization
+    assert plan.count("split(") == 1
+    assert "slice(__toks" in plan  # lambda slices the BOUND array
