@@ -78,10 +78,36 @@ def main(argv=None) -> int:
     # full corpus twice. Mentions are a small fraction of the corpus
     # (matched tokens only), so writing them is cheap — and the
     # _SUCCESS-gated write makes a resumed run skip straight past the
-    # expensive scan+tokenize pass. (os.path works for local roots;
-    # object-store deployments swap in the Hadoop FS check.)
-    m_path = os.path.join(args.graph_root, "mentions", f"batch={args.batch_id}")
-    if not os.path.exists(os.path.join(m_path, "_SUCCESS")):
+    # expensive scan+tokenize pass.
+    #
+    # The gate is keyed by batch-id AND an input fingerprint (source
+    # path + input schema + a hash of the extraction module source):
+    # re-running the same batch-id against a different --transcripts
+    # input, or after an extraction-code change, must NOT silently
+    # reuse stale staged mentions — it lands in a fresh staging dir
+    # instead. Existence goes through the Hadoop FS API so the skip
+    # works on object stores too (os.path.exists is always False
+    # there, which silently re-paid the write cost on every resume).
+    import hashlib
+    import inspect
+
+    import rdf_n3_spark.operators.mentions as mentions_mod
+
+    input_fp = hashlib.md5("|".join([
+        args.transcripts or args.sf_dir,
+        t.schema.simpleString(),
+        hashlib.md5(inspect.getsource(mentions_mod).encode()).hexdigest(),
+    ]).encode()).hexdigest()[:12]
+    m_path = os.path.join(args.graph_root, "mentions",
+                          f"batch={args.batch_id}", f"input={input_fp}")
+
+    def _hadoop_exists(path: str) -> bool:
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
+    if not _hadoop_exists(os.path.join(m_path, "_SUCCESS")):
         extract_mentions(t).write.mode("overwrite").parquet(m_path)
     m = spark.read.parquet(m_path)
 
