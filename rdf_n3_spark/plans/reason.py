@@ -42,10 +42,13 @@ LOG_IMPLIES = f"<{LOG}implies>"
 Quad = tuple  # (s, p, o, g) — terms are str or ("L", tuple)
 
 
-def _file_uri_path(iri: str, base: str = "") -> str | None:
+def _file_uri_path(iri: str, base: str = "",
+                   allow_bare: bool = True) -> str | None:
     """Local filesystem path for a file: (or relative-against-file-base)
     IRI; None for any other scheme — the engine's dereference boundary
-    for log:content / log:semantics."""
+    for log:content / log:semantics. ``allow_bare=False`` rejects
+    scheme-less absolute paths (the default-fetcher policy: an
+    untrusted document must not name raw local paths)."""
     from urllib.parse import unquote, urljoin, urlparse
 
     if base and ":" not in iri.split("/", 1)[0]:
@@ -53,9 +56,60 @@ def _file_uri_path(iri: str, base: str = "") -> str | None:
     u = urlparse(iri)
     if u.scheme == "file":
         return unquote(u.path)
-    if u.scheme == "" and iri.startswith("/"):
+    if allow_bare and u.scheme == "" and iri.startswith("/"):
         return iri
     return None
+
+
+def file_fetcher(allow_base: str | None = None,
+                 allow_bare_paths: bool = False):
+    """Fetcher factory for :class:`Reasoner`: resolves ``file:`` IRIs
+    (and relative IRIs against a file base) to local text.
+
+    ``allow_base`` restricts dereference to that directory subtree —
+    an IRI resolving outside it is treated as unresolvable (None), the
+    same failure mode as an unknown scheme. ``allow_bare_paths``
+    additionally accepts scheme-less absolute paths (off by default;
+    see ADVICE r2 — untrusted corpora must not dereference arbitrary
+    local files).
+
+    The fetcher contract: ``fetch(iri, base) -> str | None`` — text on
+    success, None for "this fetcher does not resolve that IRI" (no
+    solution, no error), and raise ``OSError`` for a failed fetch of a
+    resolvable IRI (→ no solution, matching content.rb:24-27). A
+    deployment adds http/object-store dereference by passing its own
+    callable with this contract — the reasoner never changes
+    (the reference routes through RDF::Util::File.open_file the same
+    way, content.rb:19-32)."""
+    import os as _os
+
+    def fetch(iri: str, base: str = "") -> str | None:
+        path = _file_uri_path(iri, base, allow_bare=allow_bare_paths)
+        if path is None:
+            return None
+        if allow_base is not None:
+            root = _os.path.realpath(allow_base)
+            rp = _os.path.realpath(path)
+            if rp != root and not rp.startswith(root + _os.sep):
+                return None
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+
+    return fetch
+
+
+def _default_fetcher(iri: str, base: str = "") -> str | None:
+    """Default dereference policy: file: IRIs only, and ONLY inside the
+    base document's own directory — a reasoner whose base is not a
+    file: URI dereferences nothing. An untrusted N3 document stating
+    ``<file:///etc/passwd> log:content ?x`` therefore binds nothing by
+    default; callers opt in via ``fetcher=file_fetcher(...)``."""
+    import os as _os
+
+    bpath = _file_uri_path(base) if base else None
+    if bpath is None:
+        return None
+    return file_fetcher(allow_base=_os.path.dirname(bpath) or "/")(iri, base)
 
 
 def _is_var(t) -> bool:
@@ -216,8 +270,12 @@ class Reasoner:
     """
 
     def __init__(self, quads: list[Quad], base_uri: str = "",
-                 universals: set[str] | None = None):
+                 universals: set[str] | None = None, fetcher=None):
         self.base = base_uri
+        #: log:content / log:semantics dereference hook — see
+        #: :func:`file_fetcher` for the contract. Default: file: IRIs
+        #: inside the base document's directory only.
+        self.fetcher = fetcher or _default_fetcher
         quads = fold_lists(list(quads))
         if universals:
             # @forAll-declared terms are universally quantified → vars.
@@ -522,7 +580,8 @@ class Reasoner:
             if not _is_formula(sv):
                 return None
             sub = Reasoner([(s, p, o, "") for s, p, o, _ in self.graph(sv)]
-                           + [q for q in self.kb if q[3] not in ("",)])
+                           + [q for q in self.kb if q[3] not in ("",)],
+                           base_uri=self.base, fetcher=self.fetcher)
             sub.execute(think=True)
             triples = {(s, p, o) for s, p, o, g in sub.kb if g == ""}
             node = self._materialize_formula("concl", triples)
@@ -576,28 +635,30 @@ class Reasoner:
             if not (_is_formula(sv) and _is_formula(ov)):
                 return None
             sub = Reasoner([(s, p, o, "") for s, p, o, _ in self.graph(sv)]
-                           + [q for q in self.kb if q[3] != ""])
+                           + [q for q in self.kb if q[3] != ""],
+                           base_uri=self.base, fetcher=self.fetcher)
             sub.execute(think=True)
             target = [(s, p, o) for s, p, o, g in sub.kb if g == ""]
             pats = [(s, p, o) for s, p, o, _ in self.graph(ov)]
             return self._match_against(pats, target, sol)
         if name in ("content", "semantics"):
             # Dereference the subject resource (log/content.rb:19-32,
-            # log/semantics.rb:19-38).  The reference opens the IRI via
-            # RDF::Util::File (local files or network); this engine
-            # dereferences FILE URIs only — no network in a distributed
-            # job — and treats other schemes as unresolvable.
+            # log/semantics.rb:19-38) through the injectable fetcher
+            # hook (self.fetcher; see file_fetcher for the contract).
+            # The reference opens any IRI via RDF::Util::File; this
+            # engine's DEFAULT policy is file: IRIs inside the base
+            # document's directory only — no network in a distributed
+            # job, no arbitrary local reads from untrusted data. A
+            # deployment swaps the fetcher, not the reasoner.
             if not (isinstance(sv, str) and sv.startswith("<")):
                 return None
             iri = _iri(sv)
-            path = _file_uri_path(iri, self.base)
-            if path is None:
-                return None
             try:
-                with open(path, encoding="utf-8") as fh:
-                    text = fh.read()
+                text = self.fetcher(iri, self.base)
             except OSError:
                 return []  # dereference failure → no solution (content.rb:24-27)
+            if text is None:
+                return None  # unresolvable for this fetcher
             if name == "content":
                 return self._bind_or_compare(ov, B.enc_string(text), sol)
             # semantics: parse with base_uri = the resource itself

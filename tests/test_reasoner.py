@@ -20,7 +20,7 @@ import pytest
 
 from rdf_n3_spark.functions.isomorphism import precision_recall
 from rdf_n3_spark.functions.n3_parser import parse_n3, parse_n3_full
-from rdf_n3_spark.plans.reason import Reasoner, expand_lists
+from rdf_n3_spark.plans.reason import Reasoner, expand_lists, file_fetcher
 
 # every examples/ dir with golden pairs
 DIRS = ["andy", "reason", "includes", "list", "string", "supports", "unify", "norm"]
@@ -146,13 +146,13 @@ def test_builtin_trig_backward_domain_error_filters():
 
 def test_log_content_file_uri(tmp_path):
     """log:content dereferences a file URI into its text
-    (log/content.rb:19-32; file scheme only in this engine)."""
+    (log/content.rb:19-32) via the opt-in file fetcher."""
     doc = tmp_path / "doc.txt"
     doc.write_text("hello graph")
     r = Reasoner(parse_n3(
         "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
         f"{{ <file://{doc}> log:content ?c }} => {{ :r :text ?c }} ."
-    )).execute()
+    ), fetcher=file_fetcher(str(tmp_path))).execute()
     assert ('<http://ex/r>', '<http://ex/text>', '"hello graph"', '') in r.inferred
 
 
@@ -165,7 +165,7 @@ def test_log_semantics_file_uri(tmp_path):
         "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
         f"{{ <file://{doc}> log:semantics ?f . "
         "  ?f log:includes { ?s :knows :b } } => { ?s a :Knower } ."
-    )).execute()
+    ), fetcher=file_fetcher(str(tmp_path))).execute()
     assert ('<http://ex/a>', '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
             '<http://ex/Knower>', '') in r.inferred
 
@@ -174,8 +174,57 @@ def test_log_semantics_missing_file_no_solution(tmp_path):
     r = Reasoner(parse_n3(
         "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
         f"{{ <file://{tmp_path}/absent.n3> log:semantics ?f }} => {{ :r :is :FAILURE }} ."
-    )).execute()
+    ), fetcher=file_fetcher(str(tmp_path))).execute()
     assert not r.inferred
+
+
+def test_default_policy_rejects_arbitrary_file_uris(tmp_path):
+    """ADVICE r2: an untrusted document naming an arbitrary file: IRI
+    (or a bare absolute path) must bind NOTHING under the default
+    fetcher — dereference is opt-in."""
+    secret = tmp_path / "secret.txt"
+    secret.write_text("do not exfiltrate")
+    for ref in (f"file://{secret}", str(secret)):
+        r = Reasoner(parse_n3(
+            "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+            f"{{ <{ref}> log:content ?c }} => {{ :r :text ?c }} ."
+        )).execute()
+        assert not r.inferred, ref
+
+
+def test_default_policy_scopes_to_base_directory(tmp_path):
+    """With a file: base, the default fetcher resolves siblings of the
+    base document but nothing outside its directory."""
+    inside = tmp_path / "kb"
+    inside.mkdir()
+    (inside / "doc.txt").write_text("sibling ok")
+    outside = tmp_path / "outside.txt"
+    outside.write_text("must not load")
+    base = f"file://{inside}/main.n3"
+    rules = (
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        "{ <doc.txt> log:content ?c } => { :r :sib ?c } ."
+        f"{{ <file://{outside}> log:content ?c }} => {{ :r :out ?c }} ."
+    )
+    r = Reasoner(parse_n3(rules, base_uri=base), base_uri=base).execute()
+    assert ('<http://ex/r>', '<http://ex/sib>', '"sibling ok"', '') in r.inferred
+    assert not any(p == '<http://ex/out>' for _, p, _, _ in r.inferred)
+
+
+def test_injectable_fetcher_resolves_custom_scheme():
+    """The fetcher hook is the deployment seam: a stub resolving a fake
+    scheme makes log:content work without touching the reasoner
+    (VERDICT r2 item 7; content.rb:19-32 opens any IRI the same way)."""
+    def stub(iri, base=""):
+        if iri.startswith("fake://"):
+            return f"payload:{iri[7:]}"
+        return None
+
+    r = Reasoner(parse_n3(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. @prefix : <http://ex/>."
+        "{ <fake://thing> log:content ?c } => { :r :text ?c } ."
+    ), fetcher=stub).execute()
+    assert ('<http://ex/r>', '<http://ex/text>', '"payload:thing"', '') in r.inferred
 
 
 def test_log_supports_closure_then_includes():
