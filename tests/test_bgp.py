@@ -141,3 +141,30 @@ def test_rule_engines_agree_on_closure(spark):
     dist_closure = {(row["s"], row["o"]) for row in
                     fixpoint(df, [rule]).select("s", "o").collect()}
     assert dist_closure == driver_closure
+
+
+def test_fixpoint_per_graph_shares_pattern_seats(spark, monkeypatch):
+    """VERDICT r2 item 9: identical (pattern, source) seats across
+    rules must resolve to ONE match_pattern call per round — plan size
+    grows with distinct patterns, not rules × patterns."""
+    import rdf_n3_spark.plans.bgp as bgp_mod
+
+    calls = []
+    orig = bgp_mod.match_pattern
+
+    def spy(src, pat, keep_graph=False):
+        calls.append(pat)
+        return orig(src, pat, keep_graph=keep_graph)
+
+    monkeypatch.setattr(bgp_mod, "match_pattern", spy)
+    quads = spark.createDataFrame(
+        [("a", "<p>", "b", "g1"), ("b", "<q>", "c", "g1")],
+        "s string, p string, o string, g string",
+    )
+    ante = (("?x", "<p>", "?y"), ("?y", "<q>", "?z"))
+    rules = [Rule(antecedent=ante, consequent=((f"?x", f"<r{i}>", "?z"),))
+             for i in range(3)]
+    bgp_mod.fixpoint_per_graph(quads, rules, max_iter=1)
+    # 3 rules × 2 seats × 2 patterns = 12 uncached; the memo collapses
+    # them to the 4 distinct (pattern, total|delta) combinations
+    assert len(calls) == 4, calls
