@@ -126,3 +126,27 @@ def test_relative_iri_output():
     assert "<#s>" in txt
     assert "<other>" in txt
     assert "<http://other.org/x>" in txt  # different authority: absolute
+
+
+def test_byte_level_goldens():
+    """VERDICT r2 item 6: serialization of reference examples/*.n3
+    graphs byte-compared against committed expected N3 — belt and
+    braces on top of round-trip isomorphism, pinning the writer's
+    conventions (subject order writer.rb:372-413, bnodePropertyList
+    inlining writer.rb:604-623, rule sugar, relativize) so an
+    accidental formatting change to log:n3String output fails CI.
+    Also asserts serialization is deterministic run-to-run."""
+    import os
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "goldens")
+    for name in ("example-1", "foo", "gk-list-issue-12"):
+        src = open(f"/root/reference/examples/{name}.n3", encoding="utf8").read()
+        base = f"http://example.org/{name}.n3"
+        q = parse_n3(src, base_uri=base)
+        out = serialize_n3(q, base_uri=base)
+        assert out == serialize_n3(parse_n3(src, base_uri=base), base_uri=base)
+        expected = open(os.path.join(gold_dir, f"{name}.expected.n3")).read()
+        assert out == expected, f"{name}: byte-level golden mismatch"
+        # and the golden itself must round-trip to the source graph
+        assert isomorphic(parse_n3(expected, base_uri=base),
+                          parse_n3(src, base_uri=base))
