@@ -90,7 +90,10 @@ def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     EVERY band — still reaches the exact verify and dedups, while the
     self-join stays skew-bounded at any corpus size (see
     canon.lsh_candidate_pairs for the full rationale)."""
-    shs = doc_shingles(documents)
+    # lazy checkpoint: the shingle sets feed the signatures AND both
+    # verify joins — computed once, cached, re-read (canon._shingle_sets
+    # has the measurement; ~30% off end-to-end at sandbox scale)
+    shs = doc_shingles(documents).localCheckpoint(eager=False)
     sig = shs.select("doc_id", *minhash_cols(n_hashes))
     rpb = n_hashes // bands
     band_arr = F.array(
