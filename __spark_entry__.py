@@ -22,6 +22,7 @@ from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
 from rdf_n3_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
+    jaccard_neardup_pairs,
     minhash_neardup_pairs,
     simhash_buckets,
 )
@@ -822,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_minhash": lambda s, d: minhash_neardup_pairs(_docs(s, d)),
+        "dedup_jaccard": lambda s, d: jaccard_neardup_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
         "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
         "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
@@ -1207,6 +1209,21 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         "dedup_minhash": f"""
             {_DOC_SHINGLES}
             SELECT a, b FROM ver
+        """,
+        # The prefix-filtered join has recall 1 and an exact verify, so
+        # its output EQUALS brute force — the oracle runs brute force.
+        "dedup_jaccard": """
+            WITH shs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            )
+            SELECT sa.doc_id AS a, sb.doc_id AS b
+            FROM shs sa JOIN shs sb ON sa.doc_id < sb.doc_id
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
         """,
         "dedup_simhash": f"""
             {_SIMHASH}
