@@ -87,6 +87,19 @@ def main() -> None:
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve measured appendix sections (e.g. the entity_canon
+    # pointer-jump A/B) across refreshes of the main report
+    appendix = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        for marker in ("\n## entity_canon pointer-jump A/B",):
+            i = old.find(marker)
+            if i >= 0:
+                appendix += old[i:]
+                break
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence ({stamp})
 
@@ -149,6 +162,8 @@ aggregate and the final fold, both partial-aggregated before the wire,
 so per-executor work stays ∝ data/executors — the property this
 experiment certifies at sandbox scale.
 """)
+        if appendix:
+            f.write(appendix)
     print(json.dumps({"efficiency": round(eff, 3),
                       "throughput": {str(c): results[c]["value"] for c in LEVELS}}))
 
