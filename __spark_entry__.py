@@ -24,6 +24,7 @@ from rdf_n3_spark.operators.dedup import (
     exact_dedup,
     jaccard_neardup_pairs,
     minhash_neardup_pairs,
+    neardup_clusters,
     simhash_buckets,
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
@@ -824,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_minhash": lambda s, d: minhash_neardup_pairs(_docs(s, d)),
         "dedup_jaccard": lambda s, d: jaccard_neardup_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: neardup_clusters(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
         "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
         "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
@@ -1209,6 +1211,23 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         "dedup_minhash": f"""
             {_DOC_SHINGLES}
             SELECT a, b FROM ver
+        """,
+        # same verified pair set as dedup_minhash, closed transitively:
+        # component min via recursive reachability (sym edges), then
+        # every document labeled; Spark runs distributed min-label CC
+        # over the identical edges, so the fixpoints agree exactly.
+        "dedup_clusters": f"""
+            {_DOC_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+            sym AS (SELECT a, b FROM ver
+                    UNION ALL SELECT b AS a, a AS b FROM ver),
+            reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node AS doc_id, min(lbl) AS survivor,
+                   CAST(min(lbl) <> node AS INT) AS is_dup
+            FROM reach GROUP BY node
         """,
         # The prefix-filtered join has recall 1 and an exact verify, so
         # its output EQUALS brute force — the oracle runs brute force.

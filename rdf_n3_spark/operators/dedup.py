@@ -189,6 +189,44 @@ def jaccard_neardup_pairs(documents: DataFrame,
     return j.where(F.col("jaccard") >= threshold).select("a", "b")
 
 
+def neardup_clusters(documents: DataFrame, threshold: float = 0.8,
+                     n_hashes: int = N_HASHES, bands: int = BANDS,
+                     max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_id, survivor, is_dup) — the keep-list that finishes the
+    dedup story: near-duplicate PAIRS (:func:`minhash_neardup_pairs`)
+    → connected components → every document labeled with its cluster's
+    canonical survivor (the component's min doc_id; singletons survive
+    as themselves, ``is_dup`` = 1 marks the rows a training pipeline
+    drops).
+
+    Scale shape: the component step reuses
+    :func:`~rdf_n3_spark.operators.canon.connected_components`
+    (min-label propagation, stall-triggered pointer-jumping, one
+    driver action per round), whose node set is only the documents
+    that appear in a verified pair — at web scale a minority of the
+    corpus even under heavy duplication.  The final label assignment
+    is a plain equi-join of the full corpus against that (smaller)
+    label table; transitivity is exactly what pairwise output cannot
+    give (A≈B, B≈C but A̸≈C still dedups to one survivor), and the
+    hot-bucket star edges guarantee mega-template families arrive
+    here as one component (tests/test_hot_bucket_collapse.py)."""
+    from rdf_n3_spark.operators.canon import connected_components
+
+    pairs = minhash_neardup_pairs(documents, threshold, n_hashes, bands,
+                                  max_bucket)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    lbl = F.coalesce("comp", "doc_id")
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            lbl.alias("survivor"),
+            (lbl != F.col("doc_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — bit i of the signature is the sign of the
     sum over tokens of ±1 from the high bit of md5 hex nibble i.
