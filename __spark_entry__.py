@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
-from rdf_n3_spark.functions.text import fingerprint, lang_id, quality_score, token_stats
+from rdf_n3_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    redact,
+    token_stats,
+)
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
@@ -55,6 +61,26 @@ def _docs(spark, sf_dir):
 
 def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_redact(spark, sf_dir):
+    """PII/link scrub over documents ENRICHED with deterministic
+    redactables (a contact line derived from doc_id) — the synthetic
+    corpus contains no URLs/emails/phones of its own, and an all-zero
+    redaction row would not exercise the regex semantics the oracle
+    cross-checks (Java regex vs RE2 on the same patterns)."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id").cast("string")
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), did,
+            F.lit("@example.com via https://site.example/d/"), did,
+            F.lit(" or call +1 555 000 "), F.lpad(did, 4, "0"),
+        ).alias("text"),
+    )
+    return redact(enriched)
 
 _T = transcripts_duckdb_cte()
 
@@ -837,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: quality_score(_docs(s, d)),
         "lang_id": lambda s, d: lang_id(_docs(s, d)),
         "doc_fingerprint": lambda s, d: fingerprint(_docs(s, d)),
+        "text_redact": _q_redact,
     }
 
 
@@ -1312,6 +1339,37 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT doc_id,
                    CASE WHEN stopword_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
             FROM stats
+        """,
+        # mirrors functions.text.redact: identical patterns (Java ∩ RE2
+        # subset), identical URL → EMAIL → PHONE stage order, each count
+        # taken on the PRIOR stage's output
+        "text_redact": r"""
+            WITH enr AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com via https://site.example/d/'
+                          || CAST(doc_id AS VARCHAR)
+                          || ' or call +1 555 000 '
+                          || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     regexp_replace(t0, 'https?://\S+', '<URL>', 'g') AS t1,
+                     len(regexp_extract_all(t0, 'https?://\S+')) AS n_urls
+              FROM enr
+            ),
+            s2 AS (
+              SELECT doc_id, n_urls,
+                     regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2,
+                     len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\+?\d[\d -]{6,}\d', '<PHONE>', 'g') AS redacted,
+                   n_urls, n_emails,
+                   len(regexp_extract_all(t2, '\+?\d[\d -]{6,}\d')) AS n_phones
+            FROM s2
         """,
         "doc_fingerprint": """
             WITH sh AS (

@@ -67,6 +67,46 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+#: redaction patterns — shared verbatim with the DuckDB oracle, so they
+#: must stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+#: no backrefs; \S \d and bounded quantifiers are identical in both).
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d -]{6,}\d"
+
+
+def redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_urls, n_emails, n_phones) — PII/link
+    scrubbing, the standard pre-training hygiene pass: URLs, then
+    emails, then phone-shaped digit runs replaced by typed tokens.
+
+    Pure Column expressions (regexp_replace / regexp_extract_all —
+    JVM-side, codegen'd, no UDF), so the pass is a narrow map: no
+    shuffle, scales with the scan.  The three stages apply
+    SEQUENTIALLY (each count is taken on the previous stage's output),
+    which makes the composition order part of the contract — an email
+    inside a URL is one <URL>, not a double redaction — and lets the
+    DuckDB oracle replay the identical pipeline."""
+    # bind each stage once: counts reference the PRIOR stage's string,
+    # so an unbound chain would re-run every regex up to 3×
+    return (
+        documents.select("doc_id", F.col(text_col).alias("__t0"))
+        .select("doc_id", "__t0",
+                F.regexp_replace("__t0", URL_RE, "<URL>").alias("__t1"),
+                F.size(F.regexp_extract_all("__t0", F.lit(URL_RE), F.lit(0)))
+                .cast("bigint").alias("n_urls"))
+        .select("doc_id", "n_urls",
+                F.regexp_replace("__t1", EMAIL_RE, "<EMAIL>").alias("__t2"),
+                F.size(F.regexp_extract_all("__t1", F.lit(EMAIL_RE), F.lit(0)))
+                .cast("bigint").alias("n_emails"))
+        .select("doc_id",
+                F.regexp_replace("__t2", PHONE_RE, "<PHONE>").alias("redacted"),
+                "n_urls", "n_emails",
+                F.size(F.regexp_extract_all("__t2", F.lit(PHONE_RE), F.lit(0)))
+                .cast("bigint").alias("n_phones"))
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles

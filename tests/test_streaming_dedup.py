@@ -1,0 +1,66 @@
+"""Streaming exact dedup (dropDuplicatesWithinWatermark)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.dedup import exact_dedup
+from rdf_n3_spark.streaming.dedup import stream_exact_dedup
+
+
+def ts(m):
+    return datetime.fromtimestamp(1700000000 + m * 60, tz=timezone.utc)
+
+
+def _drop(spark, tmp_path):
+    rows = [
+        ("a text", ts(0)), ("a text", ts(1)), ("a text", ts(2)),
+        ("b text", ts(0)),
+        ("c text", ts(3)), ("c text", ts(4)),
+    ]
+    pdf = pd.DataFrame({"text": [r[0] for r in rows],
+                        "ts": [r[1] for r in rows]})
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    return src
+
+
+def test_stream_dedup_one_survivor_per_hash(spark, tmp_path):
+    src = _drop(spark, tmp_path)
+    stream = spark.readStream.schema("text string, ts timestamp").parquet(src)
+    out = stream_exact_dedup(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text_hash, count(*) AS n FROM dedup_out GROUP BY 1").collect()
+    assert {r.text_hash: r.n for r in got} == {
+        r.text_hash: 1
+        for r in spark.read.parquet(src)
+        .select(F.md5("text").alias("text_hash")).distinct().collect()
+    }
+
+
+def test_stream_dedup_matches_batch_survivor_set(spark, tmp_path):
+    """The streamed survivor hash set equals the batch exact_dedup
+    groups (the end-of-day sweep the streaming pass approximates)."""
+    src = _drop(spark, tmp_path)
+    stream = spark.readStream.schema("text string, ts timestamp").parquet(src)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory").queryName("dedup_out2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.text_hash for r in spark.sql("SELECT text_hash FROM dedup_out2").collect()}
+    batch = exact_dedup(
+        spark.read.parquet(src).withColumn("doc_id", F.monotonically_increasing_id())
+    )
+    assert streamed == {r.text_hash for r in batch.collect()}
