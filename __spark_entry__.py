@@ -20,8 +20,10 @@ from rdf_n3_spark.functions.text import (
     lang_id,
     quality_score,
     redact,
+    repetition_stats,
     token_stats,
 )
+from rdf_n3_spark.operators.curation import decontaminate, pack_sequences
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
@@ -81,6 +83,48 @@ def _q_redact(spark, sf_dir):
         ).alias("text"),
     )
     return redact(enriched)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters over documents ENRICHED with a
+    deterministic second line (the synthetic corpus is single-line, so
+    the bare table would never exercise the duplicate-LINE fraction):
+    every 3rd doc's extra line repeats the first; the rest get a
+    distinct prefix line."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    enriched = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        ).otherwise(
+            F.concat(F.col("text"), F.lit("\n"), F.substring("text", 1, 29))
+        ).alias("text"),
+    )
+    return repetition_stats(enriched)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination with a deterministic 5% eval split
+    (doc_id % 20 == 7 plays the benchmark suite; the rest is the
+    corpus). n=4 word-grams measured ~8% contamination at sf0.01 —
+    non-trivial, non-saturated."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    corpus = d.filter(F.col("doc_id") % 20 != 7)
+    return decontaminate(corpus, bench, n=4)
+
+
+def _q_pack(spark, sf_dir):
+    """Greedy context-window packing (capacity 256, 8 shards) — the
+    sharded applyInPandas scan; oracle is the equivalent per-shard
+    recursive CTE."""
+    return pack_sequences(_docs(spark, sf_dir), capacity=256, n_shards=8)
+
 
 _T = transcripts_duckdb_cte()
 
@@ -864,6 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: lang_id(_docs(s, d)),
         "doc_fingerprint": lambda s, d: fingerprint(_docs(s, d)),
         "text_redact": _q_redact,
+        "text_repetition": _q_repetition,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack,
     }
 
 
@@ -1370,6 +1417,97 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    n_urls, n_emails,
                    len(regexp_extract_all(t2, '\+?\d[\d -]{6,}\d')) AS n_phones
             FROM s2
+        """,
+        # mirrors functions.text.repetition_stats over the same
+        # deterministically-enriched two-line corpus as _q_repetition
+        "text_repetition": r"""
+            WITH enr AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+                          ELSE text || chr(10) || substr(text, 1, 29) END AS t
+              FROM documents
+            ),
+            bound AS (
+              SELECT doc_id,
+                     string_split(t, chr(10)) AS lines,
+                     regexp_split_to_array(lower(t), '[ \n]+') AS toks
+              FROM enr
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     (len(lines) - len(list_distinct(lines))) / len(lines) AS dup_line_frac,
+                     (len(toks) - len(list_distinct(toks))) / len(toks) AS dup_word_frac,
+                     toks
+              FROM bound
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                     )) AS bg
+              FROM per_doc
+            ),
+            bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+            bgs AS (
+              SELECT doc_id,
+                     (sum(c) - count(*)) / sum(c) AS dup_bigram_frac,
+                     max(c) / sum(c) AS top_bigram_frac
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT p.doc_id, dup_line_frac, dup_word_frac,
+                   dup_bigram_frac, top_bigram_frac
+            FROM per_doc p JOIN bgs USING (doc_id)
+        """,
+        # mirrors curation.decontaminate with the 5% eval split of
+        # _q_decontaminate (n=4 word-grams, left join → 0-hit rows kept)
+        "decontaminate": """
+            WITH grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(lower(text), ' ')) - 3, 1)),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 3), ' ')
+                     ))) AS g
+              FROM documents
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 7),
+            hits AS (
+              SELECT doc_id, count(*) AS c
+              FROM grams JOIN bench USING (g)
+              WHERE doc_id % 20 <> 7
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
+                   coalesce(c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id % 20 <> 7
+        """,
+        # mirrors curation.pack_sequences (capacity 256, 8 shards):
+        # the greedy per-shard scan as a recursive CTE over rn
+        "pack_sequences": """
+            WITH RECURSIVE counted AS (
+              SELECT doc_id,
+                     CAST(doc_id % 8 AS BIGINT) AS shard,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            packed AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_offset
+              FROM counted WHERE rn = 1
+              UNION ALL
+              SELECT c.shard, c.rn, c.doc_id, c.n_tokens,
+                     CASE WHEN p.bin_offset + p.n_tokens > 0
+                               AND p.bin_offset + p.n_tokens + c.n_tokens > 256
+                          THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                     CASE WHEN p.bin_offset + p.n_tokens > 0
+                               AND p.bin_offset + p.n_tokens + c.n_tokens > 256
+                          THEN CAST(0 AS BIGINT) ELSE p.bin_offset + p.n_tokens END
+              FROM counted c JOIN packed p ON c.shard = p.shard AND c.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, bin_idx, bin_offset, n_tokens FROM packed
         """,
         "doc_fingerprint": """
             WITH sh AS (

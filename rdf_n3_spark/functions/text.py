@@ -107,6 +107,59 @@ def redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_line_frac, dup_word_frac, dup_bigram_frac,
+    top_bigram_frac) — Gopher-style within-document repetition
+    signals, the standard cheap filter for boilerplate/spam:
+
+    - dup_line_frac / dup_word_frac: fraction of lines / words that
+      are repeats of an earlier occurrence — pure Column arithmetic
+      over bound split arrays (no shuffle, scales with the scan).
+    - dup_bigram_frac / top_bigram_frac: repeated-2-gram fraction and
+      most-frequent-2-gram share — these need per-(doc, gram) counts,
+      so they go explode → two map-side-combinable groupBys keyed by
+      doc_id; an in-array O(n²) count would not survive 100k-token
+      documents.  The final join is doc_id-co-partitioned with the
+      aggregate's own shuffle.
+
+    All ratios are int/int single divisions, so cross-engine float
+    equality with the DuckDB oracle holds bit-for-bit."""
+    bound = documents.select(
+        "doc_id",
+        F.split(F.col(text_col), "\n").alias("__lines"),
+        F.split(F.lower(F.col(text_col)), "[ \n]+").alias("__toks"),
+    )
+    # __lines/__toks are each referenced 2-3× below, so CollapseProject
+    # keeps them materialized (see fingerprint's note on the 1-use case)
+    per_doc = bound.select(
+        "doc_id",
+        ((F.size("__lines") - F.size(F.array_distinct("__lines")))
+         / F.size("__lines")).alias("dup_line_frac"),
+        ((F.size("__toks") - F.size(F.array_distinct("__toks")))
+         / F.size("__toks")).alias("dup_word_frac"),
+        "__toks",
+    )
+    bigrams = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("__toks") - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            ((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias("dup_bigram_frac"),
+            (F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        )
+    )
+    return per_doc.drop("__toks").join(bg_stats, "doc_id")
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles

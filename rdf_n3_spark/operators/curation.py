@@ -1,0 +1,118 @@
+"""Corpus-curation operators for the training-data pipeline:
+benchmark decontamination and fixed-window sequence packing.
+
+Both are standard pre-training stages the reference engine has no
+counterpart for (beyond-reference per the brief, like
+:mod:`.dedup` / :mod:`.similarity`):
+
+* :func:`decontaminate` — drop/flag corpus documents that share a
+  word n-gram with an evaluation/benchmark set, the step that keeps
+  test sets out of training data.  Scale shape: the benchmark side is
+  SMALL by definition (eval suites are thousands of docs, the corpus
+  is billions), so its distinct n-gram set is broadcast and the whole
+  pass is a map-side hash semi-join over the exploded corpus grams —
+  no corpus-side shuffle except the per-doc hit count (map-side
+  combinable groupBy on doc_id).
+
+* :func:`pack_sequences` — greedy sequential packing of documents
+  into fixed-capacity token windows (context-length packing).  The
+  greedy scan is inherently ordered, so parallelism comes from
+  SHARDING: docs are split into ``n_shards`` deterministic shards,
+  each packed independently in one Arrow-batched
+  ``applyInPandas`` group.  Only three integer columns cross the
+  Python boundary; text never leaves the JVM.  At 100 TB the shard
+  count is sized so one shard's (doc_id, n_tokens) pairs fit an
+  executor — 10^9 docs / 10^4 shards = 10^5 rows of 24 bytes per
+  group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.dedup import shingles_of_tokens
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  n: int = 4, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_hits, contaminated) per CORPUS document: n_hits =
+    number of the document's distinct word-``n``-grams that appear
+    anywhere in the benchmark set; contaminated = n_hits > 0.
+
+    Tokenization is lower + single-space split, identical to the
+    dedup/fingerprint family, so the DuckDB oracle replays it.
+
+    Single-pass shape: corpus grams LEFT-join the broadcast benchmark
+    set with a hit marker, then one map-side-combinable groupBy sums
+    the marker — every document has ≥1 gram, so zero-hit docs survive
+    without a second corpus-keyed join (an earlier hits-then-rejoin
+    draft cost an extra doc_id SortMergeJoin over the whole corpus)."""
+    def grams(df):
+        return (
+            df.select("doc_id", F.split(F.lower(text_col), " ").alias("__toks"))
+            .select("doc_id",
+                    F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("g"))
+        )
+
+    bench_grams = (
+        grams(benchmark).select("g").distinct().withColumn("__hit", F.lit(1))
+    )
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(documents: DataFrame, capacity: int = 256,
+                   n_shards: int = 8, text_col: str = "text") -> DataFrame:
+    """(doc_id, shard, bin_idx, bin_offset, n_tokens): greedy
+    sequential packing of documents (ordered by doc_id within their
+    shard) into bins of at most ``capacity`` tokens.
+
+    Contract (mirrored exactly by the recursive-CTE oracle):
+    - shard = doc_id % n_shards; scan order within a shard is doc_id.
+    - A document opens a new bin when the running total would exceed
+      capacity; bin_offset is its token offset inside the bin.
+    - A document longer than capacity occupies a bin of its own (the
+      greedy rule produces this without a special case: it opens a
+      new bin, and the NEXT document opens another).
+
+    Token counts are computed JVM-side; the pandas stage sees only
+    (doc_id, shard, n_tokens) — a per-shard cumulative scan no
+    built-in window expresses (the reset on overflow makes it
+    non-associative), i.e. the documented applyInPandas escape
+    hatch."""
+    counted = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint").alias("shard"),
+        F.size(F.split(F.lower(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offsets = [], []
+        bin_idx, cum = 0, 0
+        for nt in pdf["n_tokens"]:
+            if cum > 0 and cum + nt > capacity:
+                bin_idx += 1
+                cum = 0
+            bins.append(bin_idx)
+            offsets.append(cum)
+            cum += nt
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        pdf["bin_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_idx", "bin_offset", "n_tokens"]]
+
+    return counted.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id bigint, shard bigint, bin_idx bigint, bin_offset bigint, n_tokens bigint",
+    )

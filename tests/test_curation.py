@@ -1,0 +1,163 @@
+"""Curation operators: benchmark decontamination, sequence packing,
+and the Gopher-style repetition filters (functions.text.repetition_stats).
+
+Semantics are pinned on hand-built corpora with known answers; the
+scale shapes (broadcast semi-join, 3-int-column applyInPandas) are
+pinned as plan audits in the style of tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.functions.text import repetition_stats
+from rdf_n3_spark.operators.curation import decontaminate, pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- decontaminate
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated words here nothing shared at all"),
+        (3, "quick brown fox jumps again and again today"),
+    ])
+    bench = _docs(spark, [
+        (100, "watch the quick brown fox jumps high"),
+    ])
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=4).collect()}
+    # bench 4-grams: {watch the quick brown, the quick brown fox,
+    #                 quick brown fox jumps, brown fox jumps high}
+    assert got[1] == (2, True)   # "the quick brown fox", "quick brown fox jumps"
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)   # "quick brown fox jumps"
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # corpus doc repeats the contaminated gram — array_distinct on the
+    # corpus side means it still counts once
+    corpus = _docs(spark, [(1, "a b c d x a b c d")])
+    bench = _docs(spark, [(9, "a b c d")])
+    [row] = decontaminate(corpus, bench, n=4).collect()
+    assert (row["n_hits"], row["contaminated"]) == (1, True)
+
+
+def test_decontaminate_is_broadcast_semi_join(spark):
+    """The benchmark gram set must broadcast: the corpus side never
+    shuffles for any join (only the per-doc hit count aggregates —
+    the single-pass marker-sum shape, no corpus-keyed rejoin)."""
+    corpus = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(9, "a b c d")])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_tokenizes_once_per_row(spark):
+    """Same CollapseProject pitfall as fingerprint: the gram lambda
+    must slice the bound token array, never re-run split() per gram."""
+    corpus = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(9, "a b c d")])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice(split" not in plan
+    assert "slice(__toks" in plan
+
+
+# ---------------------------------------------------------------- pack_sequences
+
+def _greedy_reference(rows, capacity, n_shards):
+    """Independent driver-side replay of the documented contract."""
+    out = {}
+    by_shard = {}
+    for doc_id, text in rows:
+        by_shard.setdefault(doc_id % n_shards, []).append(
+            (doc_id, len(text.lower().split(" "))))
+    for shard, docs in by_shard.items():
+        bin_idx, cum = 0, 0
+        for doc_id, nt in sorted(docs):
+            if cum > 0 and cum + nt > capacity:
+                bin_idx, cum = bin_idx + 1, 0
+            out[doc_id] = (shard, bin_idx, cum, nt)
+            cum += nt
+    return out
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 7) % 40 + 1)))
+            for i in range(50)]
+    got = {r["doc_id"]: (r["shard"], r["bin_idx"], r["bin_offset"], r["n_tokens"])
+           for r in pack_sequences(_docs(spark, rows), capacity=64,
+                                   n_shards=4).collect()}
+    assert got == _greedy_reference(rows, capacity=64, n_shards=4)
+
+
+def test_pack_sequences_bins_respect_capacity(spark):
+    rows = [(i, " ".join(["w"] * ((i % 30) + 1))) for i in range(60)]
+    df = pack_sequences(_docs(spark, rows), capacity=48, n_shards=4)
+    per_bin = (
+        df.groupBy("shard", "bin_idx")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    # a bin only exceeds capacity when it holds a single oversize doc
+    for r in per_bin:
+        assert r["tot"] <= 48 or r["n"] == 1
+
+
+def test_pack_sequences_oversize_doc_gets_own_bin(spark):
+    rows = [(0, "a b c"), (4, " ".join(["x"] * 100)), (8, "d e")]
+    got = {r["doc_id"]: r for r in
+           pack_sequences(_docs(spark, rows), capacity=10,
+                          n_shards=4).collect()}
+    assert got[0]["bin_idx"] == 0 and got[0]["bin_offset"] == 0
+    assert got[4]["bin_idx"] == 1 and got[4]["bin_offset"] == 0
+    assert got[8]["bin_idx"] == 2 and got[8]["bin_offset"] == 0
+
+
+def test_pack_sequences_only_int_columns_cross_python(spark):
+    """Text never reaches the pandas stage: the applyInPandas input is
+    exactly the three integer columns (doc_id, shard, n_tokens)."""
+    rows = [(i, "a b c") for i in range(8)]
+    plan = (
+        pack_sequences(_docs(spark, rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    head = plan.split("FlatMapGroupsInPandas")[1].splitlines()[0]
+    assert "text" not in head
+
+
+# ---------------------------------------------------------------- repetition_stats
+
+def test_repetition_stats_known_values(spark):
+    docs = _docs(spark, [
+        # 2 identical lines; toks = [a b a b] * 2 → 8 toks, 2 distinct
+        (1, "a b a b\na b a b"),
+        # all-unique everything
+        (2, "p q r s"),
+    ])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1["dup_line_frac"] == 0.5          # 1 of 2 lines repeated
+    assert r1["dup_word_frac"] == 6 / 8        # 8 toks, 2 distinct
+    # bigrams (7): ab ba ab ba ab ba ab → counts {ab:4, ba:3}
+    assert r1["dup_bigram_frac"] == (7 - 2) / 7
+    assert r1["top_bigram_frac"] == 4 / 7
+    r2 = got[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["top_bigram_frac"] == 1 / 3
+
+
+def test_repetition_stats_single_token_doc(spark):
+    # degenerate doc: 1 token → the guarded sequence yields one
+    # "bigram" (the token itself), no division by zero anywhere
+    [r] = repetition_stats(_docs(spark, [(1, "solo")])).collect()
+    assert r["dup_word_frac"] == 0.0
+    assert r["top_bigram_frac"] == 1.0
