@@ -23,7 +23,11 @@ from rdf_n3_spark.functions.text import (
     repetition_stats,
     token_stats,
 )
-from rdf_n3_spark.operators.curation import decontaminate, pack_sequences
+from rdf_n3_spark.operators.curation import (
+    curate_corpus,
+    decontaminate,
+    pack_sequences,
+)
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
@@ -117,6 +121,17 @@ def _q_decontaminate(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 20 == 7)
     corpus = d.filter(F.col("doc_id") % 20 != 7)
     return decontaminate(corpus, bench, n=4)
+
+
+def _q_curate(spark, sf_dir):
+    """End-to-end curation decision over the FULL documents table
+    (benchmark members stay in the corpus and come out trivially
+    contaminated — eval docs must not be trained on)."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    return curate_corpus(d, bench, n=4, quality_min=0.9, top_bigram_max=0.08)
 
 
 def _q_pack(spark, sf_dir):
@@ -911,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack,
+        "curate_corpus": _q_curate,
     }
 
 
@@ -1508,6 +1524,86 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
               FROM counted c JOIN packed p ON c.shard = p.shard AND c.rn = p.rn + 1
             )
             SELECT doc_id, shard, bin_idx, bin_offset, n_tokens FROM packed
+        """,
+        # mirrors curation.curate_corpus: the five signal fragments are
+        # the same SQL the individual oracle rows use (near-dup = the
+        # dedup_clusters recursive CC over the shared _DOC_SHINGLES
+        # pair set), combined into one keep/drop decision
+        "curate_corpus": f"""
+            {_DOC_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+            sym AS (SELECT a, b FROM ver
+                    UNION ALL SELECT b AS a, a AS b FROM ver),
+            reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            clus AS (
+              SELECT node AS doc_id, min(lbl) <> node AS is_near_dup
+              FROM reach GROUP BY node
+            ),
+            exd AS (
+              SELECT doc_id,
+                     doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                       AS is_exact_dup
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(lower(text), ' ')) - 3, 1)),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 3), ' ')
+                     ))) AS g
+              FROM documents
+            ),
+            bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 7),
+            hits AS (
+              SELECT doc_id, count(*) AS c
+              FROM grams JOIN bgrams USING (g) GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                       / len(toks) AS avg_token_len,
+                     CAST(len(list_filter(toks, x -> x IN
+                       ('the','a','of','to','and','in','is','on','for','with'))) AS BIGINT)
+                       / len(toks) AS stopword_ratio
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            ),
+            qual AS (
+              SELECT doc_id,
+                     ((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+                    + (CASE WHEN stopword_ratio BETWEEN 0.02 AND 0.5 THEN 1.0 ELSE 0.5 END) * 0.3
+                    + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+                       < 0.9 AS low_quality
+              FROM stats
+            ),
+            bgx AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                     )) AS bg
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            ),
+            bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg),
+            rep AS (
+              SELECT doc_id, (max(c) / sum(c)) > 0.08 AS repetitive
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT d.doc_id, exd.is_exact_dup, clus.is_near_dup,
+                   coalesce(hits.c, 0) > 0 AS contaminated,
+                   qual.low_quality, rep.repetitive,
+                   NOT (exd.is_exact_dup OR clus.is_near_dup
+                        OR coalesce(hits.c, 0) > 0
+                        OR qual.low_quality OR rep.repetitive) AS keep
+            FROM documents d
+            JOIN exd USING (doc_id)
+            JOIN clus USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+            JOIN qual USING (doc_id)
+            JOIN rep USING (doc_id)
         """,
         "doc_fingerprint": """
             WITH sh AS (

@@ -116,3 +116,61 @@ def pack_sequences(documents: DataFrame, capacity: int = 256,
         pack,
         "doc_id bigint, shard bigint, bin_idx bigint, bin_offset bigint, n_tokens bigint",
     )
+
+
+def curate_corpus(documents: DataFrame, benchmark: DataFrame, n: int = 4,
+                  quality_min: float = 0.9, top_bigram_max: float = 0.08,
+                  text_col: str = "text") -> DataFrame:
+    """One keep/drop decision per document — the composite curation
+    pass a training pipeline actually runs, with per-signal reason
+    flags so drops are auditable:
+
+    (doc_id, is_exact_dup, is_near_dup, contaminated, low_quality,
+     repetitive, keep)
+
+    - is_exact_dup:  not the min-doc_id survivor of its md5(text)
+      group (window over the hash — ONE shuffle, no join-back);
+    - is_near_dup:   dropped by the transitive MinHash-LSH cluster
+      keep-list (:func:`~rdf_n3_spark.operators.dedup.neardup_clusters`);
+    - contaminated:  shares a word ``n``-gram with ``benchmark``
+      (:func:`decontaminate`; benchmark members inside the corpus are
+      trivially contaminated — exactly right, eval docs must not be
+      trained on);
+    - low_quality:   heuristic quality score < ``quality_min``;
+    - repetitive:    top-bigram share > ``top_bigram_max``
+      (the Gopher-style boilerplate signal);
+    - keep = none of the above.
+
+    Scale shape: each signal is an existing audited operator; the
+    combine is doc_id equi-joins, co-partitioned after the first
+    doc_id shuffle.  All flags are exact int/boolean comparisons (the
+    two float thresholds compare order-stable single divisions), so
+    the DuckDB oracle replays the whole decision bit-for-bit."""
+    from pyspark.sql import Window
+
+    from rdf_n3_spark.functions.text import quality_score, repetition_stats
+    from rdf_n3_spark.operators.dedup import neardup_clusters
+
+    w = Window.partitionBy(F.md5(text_col))
+    exact = documents.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_exact_dup"),
+    )
+    near = neardup_clusters(documents).select(
+        "doc_id", (F.col("is_dup") == 1).alias("is_near_dup"))
+    cont = decontaminate(documents, benchmark, n, text_col).select(
+        "doc_id", "contaminated")
+    qual = quality_score(documents).select(
+        "doc_id", (F.col("quality") < quality_min).alias("low_quality"))
+    rep = repetition_stats(documents, text_col).select(
+        "doc_id", (F.col("top_bigram_frac") > top_bigram_max).alias("repetitive"))
+    flags = (
+        exact.join(near, "doc_id").join(cont, "doc_id")
+        .join(qual, "doc_id").join(rep, "doc_id")
+    )
+    drop = (F.col("is_exact_dup") | F.col("is_near_dup") | F.col("contaminated")
+            | F.col("low_quality") | F.col("repetitive"))
+    return flags.select(
+        "doc_id", "is_exact_dup", "is_near_dup", "contaminated",
+        "low_quality", "repetitive", (~drop).alias("keep"),
+    )

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rdf_n3_spark.functions.text import repetition_stats
-from rdf_n3_spark.operators.curation import decontaminate, pack_sequences
+from rdf_n3_spark.operators.curation import (
+    curate_corpus,
+    decontaminate,
+    pack_sequences,
+)
 
 
 def _docs(spark, rows):
@@ -130,6 +134,47 @@ def test_pack_sequences_only_int_columns_cross_python(spark):
     assert "FlatMapGroupsInPandas" in plan
     head = plan.split("FlatMapGroupsInPandas")[1].splitlines()[0]
     assert "text" not in head
+
+
+# ---------------------------------------------------------------- curate_corpus
+
+def test_curate_corpus_per_signal_flags(spark):
+    """One doc per drop reason, one clean doc; every signal fires on
+    exactly the doc built to trip it and nothing else."""
+    def words(prefix, n, stop=("the",)):
+        return " ".join(list(stop) + [f"{prefix}{i:02d}" for i in range(n - len(stop))])
+
+    clean = words("d1", 20)
+    dup = words("d2", 20)
+    near_a = words("d4", 20)
+    corpus = _docs(spark, [
+        (1, clean),
+        (2, dup), (3, dup),                      # exact (and near) dups
+        (4, near_a), (5, near_a + " d4extra"),   # near dups, not exact
+        (6, words("d6", 10) + " b1 b2 b3 b4 " + words("e6", 6, stop=())),
+        (7, "the of a"),                         # low quality (short)
+        (8, " ".join(["r1", "r2"] * 10)),        # repetitive boilerplate
+    ])
+    bench = _docs(spark, [(100, " ".join(f"b{i}" for i in range(1, 15)))])
+    got = {r["doc_id"]: r for r in curate_corpus(corpus, bench).collect()}
+
+    assert dict(got[1].asDict()) == {
+        "doc_id": 1, "is_exact_dup": False, "is_near_dup": False,
+        "contaminated": False, "low_quality": False, "repetitive": False,
+        "keep": True,
+    }
+    assert (got[2]["is_exact_dup"], got[2]["is_near_dup"]) == (False, False)
+    assert got[2]["keep"] is True                # the exact-group survivor
+    assert (got[3]["is_exact_dup"], got[3]["is_near_dup"]) == (True, True)
+    assert got[3]["keep"] is False
+    assert (got[4]["is_near_dup"], got[4]["keep"]) == (False, True)
+    assert (got[5]["is_exact_dup"], got[5]["is_near_dup"]) == (False, True)
+    assert got[5]["keep"] is False
+    assert got[6]["contaminated"] is True and got[6]["keep"] is False
+    assert not any((got[6]["is_exact_dup"], got[6]["is_near_dup"],
+                    got[6]["low_quality"], got[6]["repetitive"]))
+    assert got[7]["low_quality"] is True and got[7]["keep"] is False
+    assert got[8]["repetitive"] is True and got[8]["keep"] is False
 
 
 # ---------------------------------------------------------------- repetition_stats
