@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
 from rdf_n3_spark.functions.text import (
     fingerprint,
+    keyword_topk,
     lang_id,
     quality_score,
     redact,
@@ -24,6 +25,7 @@ from rdf_n3_spark.functions.text import (
     token_stats,
 )
 from rdf_n3_spark.operators.curation import (
+    corpus_split,
     curate_corpus,
     decontaminate,
     pack_sequences,
@@ -927,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack,
         "curate_corpus": _q_curate,
+        "corpus_split": lambda s, d: corpus_split(_docs(s, d)),
+        "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
     }
 
 
@@ -1604,6 +1608,35 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             LEFT JOIN hits USING (doc_id)
             JOIN qual USING (doc_id)
             JOIN rep USING (doc_id)
+        """,
+        # mirrors curation.corpus_split (seeded md5 bucket mod 100)
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100 AS b
+                  FROM documents)
+        """,
+        # mirrors functions.text.keyword_topk (integer tf-idf ordering)
+        "keyword_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            r AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "doc_fingerprint": """
             WITH sh AS (

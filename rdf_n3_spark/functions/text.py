@@ -9,7 +9,7 @@ equality holds bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny English stopword list for the n-gram/stopword language heuristic
@@ -158,6 +158,37 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return per_doc.drop("__toks").join(bg_stats, "doc_id")
+
+
+def keyword_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, token, tf, df, rank) — top-``k`` keywords per document
+    by tf-idf ORDER, computed entirely in exact integers: rank sorts
+    by (tf desc, df asc, token asc).  For a fixed document, tf·idf(df)
+    is monotone in tf and anti-monotone in df, so this integer sort
+    realizes the tf-idf ranking for the dominant tf tier without ever
+    materializing a float score — floats are where cross-engine
+    (ln/log ulp) and cross-run (sum order) nondeterminism live.
+
+    Scale shape: doc-term counts and document frequencies are both
+    map-side-combinable groupBys; the tf←df join is keyed by token
+    (vocab-sized right side — AQE turns it into a broadcast when the
+    vocab fits, and its skew-join handles stopword-heavy keys
+    otherwise); the final per-doc top-k is one window over rows
+    already bounded by per-doc distinct vocab."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df, "token")
+        .select("doc_id", "token", "tf", "df",
+                F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:

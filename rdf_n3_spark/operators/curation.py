@@ -118,6 +118,37 @@ def pack_sequences(documents: DataFrame, capacity: int = 256,
     )
 
 
+def corpus_split(documents: DataFrame, train_pct: int = 90,
+                 val_pct: int = 5, seed: str = "split-v1") -> DataFrame:
+    """(doc_id, split) — deterministic, engine-portable train/val/test
+    assignment: bucket = first 8 md5 hex chars of ``seed || doc_id``
+    mod 100; [0, train) → train, [train, train+val) → val, rest →
+    test.  Hash-based (not modulo-doc_id) so the split is uncorrelated
+    with ingestion order or any id-encoded attribute, and seeded so a
+    new seed re-deals WITHOUT moving the train/val boundary docs of
+    the old one (the classic re-split leakage).
+
+    Pure narrow map — no shuffle, no sampling nondeterminism; the same
+    row always lands in the same split on any cluster size, which is
+    what makes the assignment auditable and resumable at 100 TB."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"),
+                               F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return documents.select(
+        "doc_id",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def curate_corpus(documents: DataFrame, benchmark: DataFrame, n: int = 4,
                   quality_min: float = 0.9, top_bigram_max: float = 0.08,
                   text_col: str = "text") -> DataFrame:

@@ -10,8 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rdf_n3_spark.functions.text import repetition_stats
+from rdf_n3_spark.functions.text import keyword_topk, repetition_stats
 from rdf_n3_spark.operators.curation import (
+    corpus_split,
     curate_corpus,
     decontaminate,
     pack_sequences,
@@ -198,6 +199,43 @@ def test_repetition_stats_known_values(spark):
     assert r2["dup_word_frac"] == 0.0
     assert r2["dup_bigram_frac"] == 0.0
     assert r2["top_bigram_frac"] == 1 / 3
+
+
+def test_corpus_split_deterministic_and_seed_sensitive(spark):
+    docs = _docs(spark, [(i, "x") for i in range(2000)])
+    a = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    assert a == b                                   # deterministic
+    frac = {s: sum(1 for v in a.values() if v == s) / 2000
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.90) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+    c = {r["doc_id"]: r["split"] for r in
+         corpus_split(docs, seed="split-v2").collect()}
+    assert c != a                                   # a new seed re-deals
+
+
+def test_corpus_split_is_narrow_map(spark):
+    docs = _docs(spark, [(1, "x")])
+    plan = corpus_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_keyword_topk_integer_ranking(spark):
+    docs = _docs(spark, [
+        # common appears in both docs (df=2); rare* only here (df=1)
+        (1, "common common rare1 rare1 rare1 other1 other2"),
+        (2, "common rare2 rare2"),
+    ])
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"])
+           for r in keyword_topk(docs, k=3).collect()}
+    assert got[(1, 1)] == ("rare1", 3, 1)           # highest tf
+    assert got[(1, 2)] == ("common", 2, 2)
+    assert got[(1, 3)] == ("other1", 1, 1)          # tf tie → df, then token
+    assert got[(2, 1)] == ("rare2", 2, 1)
+    assert got[(2, 2)] == ("common", 1, 2)
+    assert (2, 3) not in got                        # doc 2 has only 2 tokens
 
 
 def test_repetition_stats_single_token_doc(spark):
