@@ -256,6 +256,9 @@ _TOKSTATS = """
 WITH stats AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+           '''re|''ve|''ll|''[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+         )) AS BIGINT) AS n_bpe_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
            / len(toks) AS avg_token_len,
@@ -1390,7 +1393,8 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         """,
         "text_stats": f"""
             {_TOKSTATS}
-            SELECT doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio FROM stats
+            SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
+                   avg_token_len, stopword_ratio FROM stats
         """,
         "text_quality": f"""
             {_TOKSTATS}

@@ -20,14 +20,28 @@ def tokens(col):
     return F.split(F.lower(col), " ")
 
 
+#: GPT-2-style pre-tokenizer, restricted to the Java∩RE2 regex subset
+#: (no lookaround — the original's trailing-space lookahead is dropped;
+#: contractions first so leftmost-first alternation splits "don't" into
+#: "don" + "'t" in both engines). Counting matches of this pattern is
+#: the standard cheap proxy for BPE token counts.
+BPE_TOKEN_RE = r"'re|'ve|'ll|'[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio)."""
+    """(doc_id, n_tokens, n_bpe_tokens, n_chars, avg_token_len,
+    stopword_ratio) — whitespace token count plus the BPE-ish
+    pre-tokenizer match count (:data:`BPE_TOKEN_RE`), the pair a
+    budget-aware pipeline needs (whitespace for text heuristics,
+    BPE-ish for context-length estimates)."""
     t = tokens(F.col("text"))
     n_tok = F.size(t)
     stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
     return documents.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("bigint").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         (
             F.aggregate(t, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))

@@ -40,3 +40,20 @@ def test_stage_order_email_inside_url_is_one_url(spark):
 def test_plan_is_jvm_only(spark):
     plan = redact(_df(spark, [(1, "x")]))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_token_count_known_values(spark):
+    """BPE-ish pre-tokenizer count: contractions split, punctuation
+    runs group, whitespace runs collapse to one match."""
+    from rdf_n3_spark.functions.text import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "don't stop believing"), (2, "hello,world!!!  multi  spaces")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_stats(docs).collect()}
+    # don / 't / " stop" / " believing"
+    assert got[1] == 4
+    # hello / ,world (→ "," then "world"? no: " ?[^..]+" takes ",", then
+    # "world") / !!! / "  " / " multi"→... exact count pinned by probe
+    assert got[2] == 8
