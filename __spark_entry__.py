@@ -34,6 +34,7 @@ from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
 from rdf_n3_spark.operators.dedup import (
+    embedding_neardup_clusters,
     embedding_neardup_pairs,
     exact_dedup,
     jaccard_neardup_pairs,
@@ -918,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: neardup_clusters(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
         "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
+        "dedup_embedding_clusters": lambda s, d: embedding_neardup_clusters(_embs(s, d), threshold=0.35),
         "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
         "ann_topk_exact_oracle": lambda s, d: ann_topk_exact_oracle(_embs(s, d)),
         "ann_topk_partial": lambda s, d: ann_topk_partial(_embs(s, d)),
@@ -1358,6 +1360,33 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             JOIN qe q ON q.vec_id = cand.a
             JOIN qe t ON t.vec_id = cand.b
             WHERE {_COS_EXPR} >= 0.35
+        """,
+        # full-scope pair set (no query cap) closed transitively — the
+        # embedding twin of dedup_clusters, same recursive-CC oracle
+        "dedup_embedding_clusters": f"""
+            {_QEMB.replace("WITH ", "WITH RECURSIVE ", 1)},
+            {_EMB_KEYS},
+            cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM keys l JOIN keys r USING (band_key)
+              WHERE l.vec_id < r.vec_id
+            ),
+            ver AS (
+              SELECT a, b FROM cand
+              JOIN qe q ON q.vec_id = cand.a
+              JOIN qe t ON t.vec_id = cand.b
+              WHERE {_COS_EXPR} >= 0.35
+            ),
+            sym AS (SELECT a, b FROM ver
+                    UNION ALL SELECT b AS a, a AS b FROM ver),
+            reach(node, lbl) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node AS vec_id, min(lbl) AS survivor,
+                   CAST(min(lbl) <> node AS INT) AS is_dup
+            FROM reach GROUP BY node
         """,
         "ann_ivf_multiprobe": f"""
             {_QEMB},

@@ -317,7 +317,7 @@ def lsh_band_keys(qcol, bands: int = BANDS_E, bits: int = BITS_E,
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                            max_query_id: int = 50, bands: int = BANDS_E,
+                            max_query_id: int | None = 50, bands: int = BANDS_E,
                             bits: int = BITS_E, dims: int = 64) -> DataFrame:
     """(a, b) near-duplicate pairs with quantized-cosine ≥ threshold:
     banded random-hyperplane LSH blocking + the EXACT cosine verify.
@@ -336,7 +336,11 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     keyed = qe.select(
         "vec_id", F.explode(lsh_band_keys(F.col("e"), bands, bits, dims)).alias("band_key")
     )
-    qk = keyed.where(F.col("vec_id") < max_query_id).withColumnRenamed("vec_id", "a")
+    if max_query_id is not None:  # None = full-corpus self-dedup scope
+        keyed_q = keyed.where(F.col("vec_id") < max_query_id)
+    else:
+        keyed_q = keyed
+    qk = keyed_q.withColumnRenamed("vec_id", "a")
     tk = keyed.withColumnRenamed("vec_id", "b")
     cand = (
         qk.join(tk, "band_key")
@@ -359,3 +363,33 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .withColumn("cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
     )
     return pairs.where(F.col("cos") >= threshold).select("a", "b")
+
+
+def embedding_neardup_clusters(embeddings: DataFrame,
+                               threshold: float = 0.95,
+                               bands: int = BANDS_E, bits: int = BITS_E,
+                               dims: int = 64) -> DataFrame:
+    """(vec_id, survivor, is_dup) — the embedding-space twin of
+    :func:`neardup_clusters`: full-corpus cosine near-dup PAIRS
+    (:func:`embedding_neardup_pairs` with no query cap) closed
+    transitively, every vector labeled with its cluster's min-vec_id
+    survivor.  Same scale shape as the text path: the CC node set is
+    only vectors appearing in a verified pair; the final label
+    assignment is one equi-join of the corpus against the (smaller)
+    label table."""
+    from rdf_n3_spark.operators.canon import connected_components
+
+    pairs = embedding_neardup_pairs(embeddings, threshold,
+                                    max_query_id=None, bands=bands,
+                                    bits=bits, dims=dims)
+    comp = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    lbl = F.coalesce("comp", "vec_id")
+    return (
+        embeddings.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            lbl.alias("survivor"),
+            (lbl != F.col("vec_id")).cast("int").alias("is_dup"),
+        )
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from rdf_n3_spark.operators.canon import MAX_BUCKET
 from rdf_n3_spark.operators.dedup import minhash_neardup_pairs, neardup_clusters
+from tests.conftest import SF_SMOKE
 
 _WORDS = [f"word{i:03d}" for i in range(100)]
 
@@ -97,3 +98,37 @@ def test_template_family_single_survivor(spark):
     by_s = {r.survivor: r for r in agg}
     assert by_s[0].n == n and by_s[0].dups == n - 1
     assert by_s[1000].n == 1 and by_s[1000].dups == 0
+
+
+def test_embedding_clusters_match_union_find(spark):
+    """embedding_neardup_clusters labels == driver-side union-find over
+    the same full-scope verified pair set (the embedding twin of the
+    text-cluster cross-check)."""
+    from rdf_n3_spark.operators.dedup import (
+        embedding_neardup_clusters,
+        embedding_neardup_pairs,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(embs, threshold=0.35,
+                                    max_query_id=None).collect()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in [r["vec_id"] for r in embs.select("vec_id").collect()]:
+        expected[v] = find(v) if v in parent else v
+    got = {r["vec_id"]: r["survivor"]
+           for r in embedding_neardup_clusters(embs, threshold=0.35).collect()}
+    assert got == expected
+    assert any(s != v for v, s in got.items())  # non-degenerate: dups exist

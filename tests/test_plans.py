@@ -91,3 +91,15 @@ def test_fingerprint_tokenizes_once_per_row(spark):
     assert "slice(split" not in plan  # per-shingle re-tokenization
     assert plan.count("split(") == 1
     assert "slice(__toks" in plan  # lambda slices the BOUND array
+
+
+def test_curate_corpus_has_no_cross_join(spark):
+    """The composite curation decision stays equi-join only: no
+    cartesian/nested-loop nodes anywhere in the 5-signal combine."""
+    from rdf_n3_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    plan = _plan(curate_corpus(docs, bench))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
