@@ -258,7 +258,7 @@ WITH stats AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(text,
-           '''re|''ve|''ll|''[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+           '''re|''ve|''ll|''[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+'
          )) AS BIGINT) AS n_bpe_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
@@ -1622,11 +1622,14 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                        generate_series(1, greatest(len(toks) - 1, 1)),
                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')
                      )) AS bg
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(text), '[ \n]+') AS toks
+                    FROM documents)
             ),
             bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg),
             rep AS (
-              SELECT doc_id, (max(c) / sum(c)) > 0.08 AS repetitive
+              SELECT doc_id,
+                     (max(c) / sum(c)) > 0.08 AND sum(c) > count(*) AS repetitive
               FROM bgc GROUP BY doc_id
             )
             SELECT d.doc_id, exd.is_exact_dup, clus.is_near_dup,

@@ -104,6 +104,31 @@ def _finite(col: Column) -> Column:
 _reg(MATH + "difference", "compute_pair", _n(lambda a, b: a - b))
 # x/0 → null (driver: ZeroDivisionError filters the solution)
 _reg(MATH + "quotient", "compute_pair", _n(lambda a, b: _finite(a / b)))
+_INT_RX = r"^[+-]?[0-9]+$"
+
+
+def _int_pair(ra, rb):
+    """Trimmed lexicals (the driver's as_number strips before
+    classifying, builtins.py:49), integer-lexical gate, and exact long
+    casts (zero divisor → null = no solution)."""
+    la, lb = F.trim(lex(ra)), F.trim(lex(rb))
+    int_lex = la.rlike(_INT_RX) & lb.rlike(_INT_RX)
+    al = la.try_cast("long")  # try_cast: magnitude beyond int64 → null, not an ANSI error
+    bl = F.nullif(lb.try_cast("long"), F.lit(0))
+    return int_lex, al, bl
+
+
+def _floor_mod(al, bl):
+    """Exact long floor-mod (sign of the divisor), Python/Ruby ``%``.
+    NOT ``F.pmod`` — Spark's pmod is the always-non-negative modulus,
+    which disagrees with floor-mod whenever the divisor is negative
+    (pmod(1,-2)=1, floor-mod=-1).  Built from the truncated ``%`` plus
+    a conditional divisor add; the add cannot overflow because the
+    operands have opposite signs."""
+    r = al % bl
+    return F.when((r != 0) & ((r < 0) != (bl < 0)), r + bl).otherwise(r)
+
+
 def _remainder_col(ra, rb):
     """Ruby ``%`` floor-mod over VALIDATED integer operands
     (math/remainder.rb:17-31): non-integer operands or a zero divisor
@@ -114,23 +139,50 @@ def _remainder_col(ra, rb):
     validates the *type* of the operand, so a whole-VALUED decimal
     lexical like "4.0" must be rejected exactly as the driver registry
     rejects it (as_number('4.0') is Decimal, not Integer) — gating on
-    value-integrality would accept it and diverge between layers."""
-    la, lb = lex(ra), lex(rb)
-    int_lex = la.rlike(r"^[+-]?[0-9]+$") & lb.rlike(r"^[+-]?[0-9]+$")
-    al = la.try_cast("long")  # try_cast: a magnitude beyond int64 → null, not an ANSI error
-    bl = F.nullif(lb.try_cast("long"), F.lit(0))
-    return F.when(
-        int_lex, al - bl * F.floor(al.cast("double") / bl.cast("double")).cast("long")
-    )
+    value-integrality would accept it and diverge between layers.
+    :func:`_floor_mod` stays in exact long arithmetic, matching the
+    driver's Python ``%`` bit-for-bit across the whole int64 range —
+    the former ``a - b*floor(double(a)/double(b))`` drifted beyond
+    2^53."""
+    int_lex, al, bl = _int_pair(ra, rb)
+    return F.when(int_lex, _floor_mod(al, bl))
 
 
 _reg(MATH + "remainder", "compute_pair", _remainder_col)
 # 0 ** negative / overflow → null (no solution; Java pow gives Inf)
 _reg(MATH + "exponentiation", "compute_pair",
      _n(lambda a, b: _finite(F.when(~((a == 0) & (b < 0)), F.pow(a, b)))))
+
+
+def _integer_quotient_col(ra, rb):
+    """Floor division matching the driver's exact int ``//``
+    (builtins.py:195-197) across the int64 range: q = (a − fmod(a,b))/b
+    with the subtraction AND division in decimal(38,0) — the long
+    subtraction overflows for large mixed-sign pairs (a−r = b·q can
+    reach 2^64), doubles round beyond 2^53, and a−r is an exact
+    multiple of b so the decimal quotient is an integer representable
+    exactly at scale 6.  Non-integer operands (Decimal/float pairs,
+    where the driver itself uses floor-of-true-division) and int64
+    overflows take the double path; the one quotient that cannot fit
+    a long at all (MIN // −1 = 2^63) is excluded from the exact path
+    so the final cast cannot raise under ANSI."""
+    int_lex, al, bl = _int_pair(ra, rb)
+    safe = (int_lex & al.isNotNull() & bl.isNotNull()
+            & ~((al == F.lit(-(2 ** 63))) & (bl == F.lit(-1))))
+    dec = lambda c: c.cast("decimal(38,0)")
+    q = ((dec(al) - dec(_floor_mod(al, bl))) / dec(bl)).cast("long")
+    a, b = as_num(ra), F.nullif(as_num(rb), F.lit(0.0))
+    # a double-path quotient beyond int64 (e.g. MIN // −1 = 2^63) is
+    # null (no solution): try_cast would SATURATE to ±MAX — a silently
+    # wrong binding — and a plain ANSI cast would kill the job
+    dbl = F.floor(a / b)
+    lim = F.lit(float(2 ** 63))
+    in_range = (dbl > -lim) & (dbl < lim)
+    return F.when(safe, q).otherwise(F.when(in_range, dbl.cast("long")))
+
+
 # nullif keeps a zero divisor from raising mid-job (null = no solution)
-_reg(MATH + "integerQuotient", "compute_pair",
-     _n(lambda a, b: F.floor(a / F.nullif(b, F.lit(0.0))).cast("long")))
+_reg(MATH + "integerQuotient", "compute_pair", _integer_quotient_col)
 _reg(MATH + "negation", "compute", _n(lambda a: -a))
 _reg(MATH + "absoluteValue", "compute", _n(F.abs))
 # half-away-from-zero like Ruby Float#round (math/rounded.rb):

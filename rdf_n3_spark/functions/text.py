@@ -23,9 +23,13 @@ def tokens(col):
 #: GPT-2-style pre-tokenizer, restricted to the Java∩RE2 regex subset
 #: (no lookaround — the original's trailing-space lookahead is dropped;
 #: contractions first so leftmost-first alternation splits "don't" into
-#: "don" + "'t" in both engines). Counting matches of this pattern is
-#: the standard cheap proxy for BPE token counts.
-BPE_TOKEN_RE = r"'re|'ve|'ll|'[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+#: "don" + "'t" in both engines; whitespace is the EXPLICIT class
+#: [ \t\n\x0B\f\r] because \s itself differs — Java's includes vertical
+#: tab, RE2's does not). Counting matches of this pattern is the
+#: standard cheap proxy for BPE token counts.
+_WS = r" \t\n\x0B\f\r"
+BPE_TOKEN_RE = (r"'re|'ve|'ll|'[sdmt]| ?[A-Za-z]+| ?[0-9]+"
+                + r"| ?[^A-Za-z0-9" + _WS + r"]+|[" + _WS + r"]+")
 
 
 def token_stats(documents: DataFrame) -> DataFrame:

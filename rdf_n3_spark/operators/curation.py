@@ -168,8 +168,11 @@ def curate_corpus(documents: DataFrame, benchmark: DataFrame, n: int = 4,
       trivially contaminated — exactly right, eval docs must not be
       trained on);
     - low_quality:   heuristic quality score < ``quality_min``;
-    - repetitive:    top-bigram share > ``top_bigram_max``
-      (the Gopher-style boilerplate signal);
+    - repetitive:    top-bigram share > ``top_bigram_max`` AND at
+      least one bigram actually repeats (an all-distinct-bigram doc is
+      never repetitive — without the guard, every clean document of
+      ≤ 1 + 1/top_bigram_max tokens would be auto-flagged, since its
+      top share is at least 1/(n_tokens−1));
     - keep = none of the above.
 
     Scale shape: each signal is an existing audited operator; the
@@ -194,7 +197,9 @@ def curate_corpus(documents: DataFrame, benchmark: DataFrame, n: int = 4,
     qual = quality_score(documents).select(
         "doc_id", (F.col("quality") < quality_min).alias("low_quality"))
     rep = repetition_stats(documents, text_col).select(
-        "doc_id", (F.col("top_bigram_frac") > top_bigram_max).alias("repetitive"))
+        "doc_id",
+        ((F.col("top_bigram_frac") > top_bigram_max)
+         & (F.col("dup_bigram_frac") > 0)).alias("repetitive"))
     flags = (
         exact.join(near, "doc_id").join(cont, "doc_id")
         .join(qual, "doc_id").join(rep, "doc_id")

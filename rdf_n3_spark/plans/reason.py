@@ -44,19 +44,26 @@ Quad = tuple  # (s, p, o, g) — terms are str or ("L", tuple)
 
 def _file_uri_path(iri: str, base: str = "",
                    allow_bare: bool = True) -> str | None:
-    """Local filesystem path for a file: (or relative-against-file-base)
+    """Local filesystem path for a file: (or relative-against-base)
     IRI; None for any other scheme — the engine's dereference boundary
     for log:content / log:semantics. ``allow_bare=False`` rejects
-    scheme-less absolute paths (the default-fetcher policy: an
-    untrusted document must not name raw local paths)."""
+    scheme-less absolute paths NAMED IN DATA (the default-fetcher
+    policy: an untrusted document must not name raw local paths) —
+    but a RELATIVE IRI joined against the caller's own base inherits
+    the base's trust even when the base is a bare path (the common
+    "parsed from /dir/main.n3, references <doc.txt>" case); escapes
+    like ../../etc stay caught by the fetcher's allow_base subtree
+    check."""
     from urllib.parse import unquote, urljoin, urlparse
 
-    if base and ":" not in iri.split("/", 1)[0]:
+    joined = False
+    if base and ":" not in iri.split("/", 1)[0] and not iri.startswith("/"):
         iri = urljoin(base, iri)
+        joined = True
     u = urlparse(iri)
     if u.scheme == "file":
         return unquote(u.path)
-    if allow_bare and u.scheme == "" and iri.startswith("/"):
+    if (allow_bare or joined) and u.scheme == "" and iri.startswith("/"):
         return iri
     return None
 

@@ -244,3 +244,16 @@ def test_repetition_stats_single_token_doc(spark):
     [r] = repetition_stats(_docs(spark, [(1, "solo")])).collect()
     assert r["dup_word_frac"] == 0.0
     assert r["top_bigram_frac"] == 1.0
+
+
+def test_curate_corpus_short_clean_doc_is_kept(spark):
+    """Regression (review r3): a short-but-clean doc (10 tokens, all
+    bigrams distinct) has top_bigram_frac = 1/9 > the 0.08 threshold;
+    without the dup-bigram guard it was auto-flagged repetitive and
+    could never be kept."""
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over lazy dogs every day"),
+    ])
+    bench = _docs(spark, [(100, "zz1 zz2 zz3 zz4 zz5")])
+    [r] = curate_corpus(corpus, bench).collect()
+    assert r["repetitive"] is False and r["keep"] is True

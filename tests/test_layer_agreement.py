@@ -239,3 +239,46 @@ def test_non_numeric_lexicals_coerce_to_zero(spark):
     for a, n in got.items():
         want = float(as_number(f'"{a}"'))
         assert n == -want
+
+
+def test_integer_ops_exact_beyond_double(spark):
+    """integerQuotient / remainder on int64-scale operands: both
+    layers must bind the EXACT integer (double-routed arithmetic
+    drifts beyond 2^53) — compared as integers, never through float.
+    Includes whitespace-padded lexicals (the driver's as_number strips
+    before classifying, so the distributed gate must trim too)."""
+    cases = [
+        ("1152921504606846976", "7"),    # 2^60
+        ("1152921504606846977", "7"),
+        ("-1152921504606846977", "7"),   # negative: floor, sign of divisor
+        ("1152921504606846977", "-7"),
+        ("9007199254740993", "3"),       # 2^53 + 1 (first double gap)
+        (" 7 ", " 3 "),                  # padded integer lexicals
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], ["rid", "a", "b"])
+    for op in ("integerQuotient", "remainder"):
+        mode, fn = REGISTRY[MATH + op]
+        sol = apply_builtins(df, [(("?a", "?b"), MATH + op, "?v")])
+        dist = {r["rid"]: (None if r["v"] is None else int(r["v"]))
+                for r in sol.collect()}
+        for i, (a, b) in enumerate(cases):
+            enc = fn([a, b]) if mode == "compute_list_whole" else fn(*[a, b])
+            lex_, _, _ = literal_parts(enc)
+            drv = int(lex_)
+            # ground truth: Python's exact floor semantics
+            pa, pb = int(a), int(b)
+            truth = pa // pb if op == "integerQuotient" else pa % pb
+            assert drv == truth, (op, i)
+            assert dist[i] == truth, (op, i, dist[i], truth)
+
+
+def test_integer_quotient_min_by_minus_one_survives(spark):
+    """MIN // -1 = 2^63 does not fit a long: the distributed layer
+    must yield null (no solution), never an ANSI overflow that kills
+    the job. (The driver binds the exact Python bignum — a documented
+    int64 representability boundary, not a silent wrong value.)"""
+    df = spark.createDataFrame(
+        [(0, "-9223372036854775808", "-1")], ["rid", "a", "b"])
+    sol = apply_builtins(df, [(("?a", "?b"), MATH + "integerQuotient", "?v")])
+    assert [r["v"] for r in sol.collect()] == [None]

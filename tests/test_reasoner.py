@@ -271,3 +271,20 @@ def test_decimal_encoding_has_no_exponent():
     _, fn = REGISTRY[MATH + "sum"]
     assert fn('"99.5"', '"0.5"') == \
         '"100"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+
+
+def test_bare_path_base_resolves_relative_iris(tmp_path):
+    """A document parsed with a bare-path base (no file: scheme, as
+    upstream sources often pass) must still dereference RELATIVE IRIs
+    against its own directory under the default policy — while raw
+    absolute paths named in data, and ../ escapes outside the base
+    directory, stay rejected."""
+    from rdf_n3_spark.plans.reason import _default_fetcher
+
+    (tmp_path / "doc.txt").write_text("hello")
+    outside = tmp_path.parent / "secret.txt"
+    outside.write_text("nope")
+    base = str(tmp_path / "main.n3")
+    assert _default_fetcher("doc.txt", base) == "hello"
+    assert _default_fetcher(f"../{outside.name}", base) is None
+    assert _default_fetcher(str(outside), base) is None  # bare absolute
