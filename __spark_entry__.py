@@ -25,6 +25,7 @@ from rdf_n3_spark.functions.text import (
     token_stats,
 )
 from rdf_n3_spark.operators.curation import (
+    chunk_documents,
     corpus_split,
     curate_corpus,
     decontaminate,
@@ -935,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack,
         "curate_corpus": _q_curate,
         "corpus_split": lambda s, d: corpus_split(_docs(s, d)),
+        "doc_chunks": lambda s, d: chunk_documents(_docs(s, d)),
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
     }
 
@@ -1655,6 +1657,32 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                          ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                            % 100 AS b
                   FROM documents)
+        """,
+        # mirrors curation.chunk_documents (window=3, divisor=16):
+        # content-defined chunk boundaries from the md5 rolling hash of
+        # the trailing 3-token window, replayed via a prefix-sum of cut
+        # flags over the unnested token stream
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), pos AS (
+              SELECT doc_id, i, t[i] AS tok,
+                     CASE WHEN i >= 3 AND i < len(t)
+                          AND ('0x' || substr(md5(array_to_string(t[i-2:i], ' ')), 1, 8))::BIGINT
+                              % 16 = 0
+                     THEN 1 ELSE 0 END AS cut
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   string_agg(tok, ' ' ORDER BY i) AS chunk,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, i, tok,
+                         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                  0) AS chunk_idx
+                  FROM pos)
+            GROUP BY doc_id, chunk_idx
         """,
         # mirrors functions.text.keyword_topk (integer tf-idf ordering)
         "keyword_topk": """

@@ -118,6 +118,62 @@ def pack_sequences(documents: DataFrame, capacity: int = 256,
     )
 
 
+def chunk_documents(documents: DataFrame, window: int = 3,
+                    divisor: int = 16, text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_idx, chunk, n_tokens) — CONTENT-DEFINED chunking:
+    a chunk boundary falls after token ``i`` whenever the rolling hash
+    of the trailing ``window`` tokens lands in bucket 0 of ``divisor``
+    (expected chunk length ≈ divisor tokens).  Content-defined (vs
+    fixed-width) boundaries survive token insertion/deletion — edits
+    only perturb chunks that overlap them, so chunk-level dedup and
+    embedding caches stay valid across document revisions (the rolling
+    -hash idea under rsync/LBFS-style chunking).
+
+    Pure Column expressions over ONE bound token array — boundary
+    detection, split points, and chunk assembly are all array HOF
+    calls inside codegen, so the operator is a narrow map (zero
+    shuffles, scales with the scan).  The md5-bucket boundary test is
+    the same engine-portable hash the bucketing operators use, so the
+    DuckDB oracle replays chunking bit-for-bit."""
+    n = F.size(F.col("__toks"))
+    win = lambda i: F.concat_ws(" ", F.slice(F.col("__toks"),
+                                             i - (window - 1), window))
+    is_cut = lambda i: (
+        F.pmod(
+            F.conv(F.substring(F.md5(win(i)), 1, 8), 16, 10).cast("long"),
+            F.lit(divisor),
+        ) == 0
+    )
+    # boundaries: token positions (window..n-1) where the rolling hash
+    # cuts; never position n (the end is always an implicit boundary).
+    # greatest(…, window) keeps the sequence ascending — Spark's
+    # sequence() defaults to step -1 when start > stop, which for
+    # n == window would yield [window, window-1] and drive slice()
+    # below index 1 — and the i<n guard (And short-circuits in both
+    # interpreted and codegen eval) drops the padding element.
+    bounds = F.filter(
+        F.sequence(F.lit(window), F.greatest(n - 1, F.lit(window))),
+        lambda i: (i < n) & is_cut(i),
+    )
+    starts = F.concat(F.array(F.lit(0)), bounds)
+    ends = F.concat(bounds, F.array(n))
+    chunks = F.zip_with(
+        starts, ends,
+        lambda s, e: F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, e - s)),
+    )
+    return (
+        documents.select(
+            "doc_id", F.split(F.lower(text_col), " ").alias("__toks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk",
+            F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def corpus_split(documents: DataFrame, train_pct: int = 90,
                  val_pct: int = 5, seed: str = "split-v1") -> DataFrame:
     """(doc_id, split) — deterministic, engine-portable train/val/test

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from rdf_n3_spark.functions.text import keyword_topk, repetition_stats
 from rdf_n3_spark.operators.curation import (
+    chunk_documents,
     corpus_split,
     curate_corpus,
     decontaminate,
@@ -135,6 +136,69 @@ def test_pack_sequences_only_int_columns_cross_python(spark):
     assert "FlatMapGroupsInPandas" in plan
     head = plan.split("FlatMapGroupsInPandas")[1].splitlines()[0]
     assert "text" not in head
+
+
+# ---------------------------------------------------------------- chunk_documents
+
+def test_chunk_documents_reassembles_and_counts(spark):
+    """Chunks partition the token stream: joining a doc's chunks in
+    chunk_idx order restores lower(text), and n_tokens sums to the
+    doc's token count."""
+    rows = [(1, " ".join(f"W{i}" for i in range(120))),
+            (2, "Only Two")]
+    out = chunk_documents(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in chunks] == list(range(len(chunks)))
+        assert " ".join(r["chunk"] for r in chunks) == text.lower()
+        assert sum(r["n_tokens"] for r in chunks) == len(text.split(" "))
+        assert all(r["n_tokens"] == len(r["chunk"].split(" ")) for r in chunks)
+
+
+def test_chunk_documents_boundaries_survive_edits(spark):
+    """The content-defined property: prepending tokens to a document
+    re-cuts only the prefix — chunks that do not overlap the edit come
+    out byte-identical, which is what keeps chunk-level dedup and
+    embedding caches valid across document revisions."""
+    base = " ".join(f"tok{i}" for i in range(300))
+    edited = "new1 new2 new3 " + base
+    rows = chunk_documents(
+        _docs(spark, [(1, base), (2, edited)])).collect()
+    chunks = {1: [], 2: []}
+    for r in rows:
+        chunks[r["doc_id"]].append((r["chunk_idx"], r["chunk"]))
+    tail = lambda d: {c for _, c in sorted(chunks[d])[2:]}
+    shared = tail(1) & tail(2)
+    # all but a bounded prefix of chunks realign after the edit
+    assert len(shared) >= len(tail(1)) - 2 and len(shared) > 5
+
+
+def test_chunk_documents_degenerate_docs(spark):
+    """Docs at or below the hash window (the sequence() descending-step
+    trap: n == window must not drive slice() below index 1) and the
+    empty string each yield exactly one chunk."""
+    rows = [(1, "a b c"), (2, "a b"), (3, "a"), (4, "")]
+    out = chunk_documents(_docs(spark, rows), window=3).collect()
+    got = {r["doc_id"]: (r["chunk_idx"], r["chunk"], r["n_tokens"]) for r in out}
+    assert len(out) == 4
+    assert got[1] == (0, "a b c", 3)
+    assert got[2] == (0, "a b", 2)
+    assert got[3] == (0, "a", 1)
+    assert got[4] == (0, "", 1)
+
+
+def test_chunk_documents_is_narrow_single_tokenize(spark):
+    """Scale shape: a zero-shuffle narrow map that tokenizes once —
+    the multi-referenced __toks projection must survive CollapseProject
+    (one split(lower(…)) in the optimized plan, no Exchange)."""
+    df = chunk_documents(_docs(spark, [(1, "a b c d e f g h")]))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(lower") == 1
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
 
 
 # ---------------------------------------------------------------- curate_corpus
