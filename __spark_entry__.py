@@ -24,6 +24,12 @@ from rdf_n3_spark.functions.text import (
     repetition_stats,
     token_stats,
 )
+from rdf_n3_spark.operators.sampling import (
+    corpus_sample,
+    shuffle_shards,
+    source_mix,
+    stratified_sample,
+)
 from rdf_n3_spark.operators.curation import (
     chunk_documents,
     corpus_split,
@@ -938,6 +944,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": lambda s, d: corpus_split(_docs(s, d)),
         "doc_chunks": lambda s, d: chunk_documents(_docs(s, d)),
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
+        "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
+        "stratified_sample": lambda s, d: stratified_sample(
+            _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
+        "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
+        "source_mix": lambda s, d: source_mix(_docs(s, d)),
     }
 
 
@@ -1683,6 +1694,47 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                                   0) AS chunk_idx
                   FROM pos)
             GROUP BY doc_id, chunk_idx
+        """,
+        # mirrors sampling.corpus_sample (pct=10): seeded md5-bucket
+        # Bernoulli membership, monotone in pct
+        "corpus_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE ('0x' || substr(md5('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 10
+        """,
+        # mirrors sampling.stratified_sample ({en:5, zh:60}, default 20):
+        # per-stratum quota via the stratum-salted hash + literal CASE
+        "stratified_sample": """
+            SELECT doc_id, lang AS stratum FROM documents
+            WHERE ('0x' || substr(md5('strat-v1|' || lang || '/' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < (CASE WHEN lang = 'en' THEN 5
+                                WHEN lang = 'zh' THEN 60 ELSE 20 END)
+        """,
+        # mirrors sampling.shuffle_shards (8 shards): shard = hash mod 8,
+        # pos = dense rank inside the shard ordered by (md5 hex, doc_id)
+        "shuffle_shards": """
+            SELECT doc_id,
+                   ('0x' || substr(md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 8 AS shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY ('0x' || substr(md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                          ORDER BY md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)), doc_id)
+                        - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        # mirrors sampling.source_mix: integer aggregates + exact
+        # floor-division ppm shares over the tiny (source, lang) rollup
+        "source_mix": """
+            WITH agg AS (
+              SELECT source, lang, count(*) AS n_docs,
+                     CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+                     CAST(sum(len(text)) AS BIGINT) AS n_chars
+              FROM documents GROUP BY source, lang
+            )
+            SELECT source, lang, n_docs, n_tokens, n_chars,
+                   CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS doc_share_ppm,
+                   CAST((n_tokens * 1000000) // sum(n_tokens) OVER () AS BIGINT) AS token_share_ppm
+            FROM agg
         """,
         # mirrors functions.text.keyword_topk (integer tf-idf ordering)
         "keyword_topk": """

@@ -8,6 +8,18 @@ rows inherit the transcript partitioning by conv_id.
 The surface-form grammar for the synthetic corpus is
 ``(part|supp)_<key>`` (case-insensitive, ``part_hub`` included); real
 deployments would swap MENTION_RE / the normalizer, nothing else.
+
+Measured alternatives that LOST (interleaved min-of-rounds, 6M turns,
+local[32]) — kept here so they aren't re-tried:
+  * in-array filtering (zip_with + F.filter before a small explode,
+    66M→12M exploded rows) ran 1.8× slower: HOF lambdas evaluate
+    interpreted, while posexplode + filter stays in whole-stage
+    codegen end to end;
+  * repartitioning mentions to share one scan across the triple-emit
+    and entity-agg branches was also slower (full 12M-row shuffle,
+    and ReuseExchange did not deduplicate the union's branches) — the
+    double scan of a columnar source is cheaper than materializing
+    the extraction.
 """
 
 from __future__ import annotations
