@@ -31,6 +31,8 @@ from rdf_n3_spark.operators.sampling import (
     stratified_sample,
 )
 from rdf_n3_spark.operators.curation import (
+    boilerplate_ngrams,
+    boilerplate_share,
     chunk_documents,
     corpus_split,
     curate_corpus,
@@ -949,6 +951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
         "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
+        "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
+            _docs(s, d), n=3, min_docs=5),
+        "boilerplate_share": lambda s, d: boilerplate_share(
+            _docs(s, d), n=3, min_docs=5),
     }
 
 
@@ -1548,6 +1554,40 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    coalesce(c, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id % 20 <> 7
+        """,
+        # mirrors curation.boilerplate_ngrams (n=3 word-grams, DF >= 5):
+        # per-doc DISTINCT shingles, so count(*) IS document frequency
+        "boilerplate_ngrams": """
+            WITH grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+                     ))) AS gram
+              FROM documents
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq,
+                   min(doc_id) AS first_doc
+            FROM grams GROUP BY gram HAVING count(*) >= 5
+        """,
+        # mirrors curation.boilerplate_share (same mined set, left join
+        # back onto every document's distinct grams)
+        "boilerplate_share": """
+            WITH grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+                     ))) AS gram
+              FROM documents
+            ),
+            boiler AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 5)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boiler_share
+            FROM grams g LEFT JOIN boiler b USING (gram)
+            GROUP BY g.doc_id
         """,
         # mirrors curation.pack_sequences (capacity 256, 8 shards):
         # the greedy per-shard scan as a recursive CTE over rn

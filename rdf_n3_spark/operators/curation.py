@@ -174,6 +174,69 @@ def chunk_documents(documents: DataFrame, window: int = 3,
     )
 
 
+def boilerplate_ngrams(documents: DataFrame, n: int = 3,
+                       min_docs: int = 5, text_col: str = "text") -> DataFrame:
+    """(gram, doc_freq, first_doc) — the corpus-frequent template
+    miner: word ``n``-grams that occur in at least ``min_docs``
+    DISTINCT documents.  High-document-frequency n-grams are
+    boilerplate (headers, footers, cookie banners, licence blurbs) —
+    the phrases a web-scale curation pass strips before training
+    because they are repeated across sites, not within a document.
+
+    ``shingles_of_tokens`` is already per-document distinct, so a
+    plain ``count(*)`` after the explode IS document frequency — one
+    map-side-combinable groupBy shuffle keyed on the gram, no
+    countDistinct, no self-join.  At 100 TB the explode emits ~one row
+    per corpus token, but partial aggregation collapses each
+    executor's counts before the shuffle, so bytes-on-the-wire scale
+    with DISTINCT grams per partition, not tokens."""
+    grams = (
+        documents.select("doc_id", F.split(F.lower(text_col), " ").alias("__toks"))
+        .select("doc_id",
+                F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def boilerplate_share(documents: DataFrame, n: int = 3,
+                      min_docs: int = 5, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_grams, n_boiler, boiler_share) — per-document share
+    of distinct word ``n``-grams that are corpus boilerplate per
+    :func:`boilerplate_ngrams`.  The quality signal template-heavy
+    filters (C4/RefinedWeb-style) threshold on.
+
+    Same single-pass shape as :func:`decontaminate`: the mined
+    boilerplate set is small by construction (DF ≥ ``min_docs`` keeps
+    only the head of the Zipf curve), so it broadcasts, and the corpus
+    side needs just its one gram explode + a map-side-combinable
+    doc_id groupBy.  boiler_share is one exact-int division, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    boiler = (
+        boilerplate_ngrams(documents, n, min_docs, text_col)
+        .select("gram").withColumn("__b", F.lit(1))
+    )
+    grams = (
+        documents.select("doc_id", F.split(F.lower(text_col), " ").alias("__toks"))
+        .select("doc_id",
+                F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("gram"))
+    )
+    return (
+        grams.join(F.broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+             F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("bigint").alias("n_boiler"))
+        .select(
+            "doc_id", "n_grams", "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_share"),
+        )
+    )
+
+
 def corpus_split(documents: DataFrame, train_pct: int = 90,
                  val_pct: int = 5, seed: str = "split-v1") -> DataFrame:
     """(doc_id, split) — deterministic, engine-portable train/val/test

@@ -321,3 +321,63 @@ def test_curate_corpus_short_clean_doc_is_kept(spark):
     bench = _docs(spark, [(100, "zz1 zz2 zz3 zz4 zz5")])
     [r] = curate_corpus(corpus, bench).collect()
     assert r["repetitive"] is False and r["keep"] is True
+
+
+# ------------------------------------------------------------- boilerplate
+
+def test_boilerplate_ngrams_mines_cross_doc_templates(spark):
+    from rdf_n3_spark.operators.curation import boilerplate_ngrams
+
+    # "all rights reserved" footers on 3 docs; unique bodies elsewhere
+    docs = _docs(spark, [
+        (0, "alpha body one all rights reserved"),
+        (1, "beta body two all rights reserved"),
+        (2, "gamma body three all rights reserved"),
+        (3, "delta entirely unique text here"),
+    ])
+    rows = {r["gram"]: r for r in
+            boilerplate_ngrams(docs, n=3, min_docs=3).collect()}
+    assert rows["all rights reserved"]["doc_freq"] == 3
+    assert rows["all rights reserved"]["first_doc"] == 0
+    # nothing from the unique doc crosses the DF threshold
+    assert all("unique" not in g for g in rows)
+
+
+def test_boilerplate_ngrams_df_counts_docs_not_occurrences(spark):
+    from rdf_n3_spark.operators.curation import boilerplate_ngrams
+
+    # one doc repeats the phrase 3 times; only 2 DISTINCT docs have it
+    docs = _docs(spark, [
+        (0, "click here now click here now click here now"),
+        (1, "click here now"),
+    ])
+    rows = {r["gram"]: r["doc_freq"] for r in
+            boilerplate_ngrams(docs, n=3, min_docs=2).collect()}
+    assert rows["click here now"] == 2
+
+
+def test_boilerplate_share_per_doc(spark):
+    from rdf_n3_spark.operators.curation import boilerplate_share
+
+    docs = _docs(spark, [
+        (0, "alpha body one all rights reserved"),
+        (1, "beta body two all rights reserved"),
+        (2, "gamma body three all rights reserved"),
+        (3, "delta entirely unique text here"),
+    ])
+    rows = {r["doc_id"]: r for r in
+            boilerplate_share(docs, n=3, min_docs=3).collect()}
+    # doc 0: grams = alpha/body/one/all rights reserved chain → 4 grams,
+    # exactly one ("all rights reserved") is boilerplate
+    assert rows[0]["n_grams"] == 4 and rows[0]["n_boiler"] == 1
+    assert rows[0]["boiler_share"] == 0.25
+    assert rows[3]["n_boiler"] == 0 and rows[3]["boiler_share"] == 0.0
+
+
+def test_boilerplate_share_is_broadcast_join(spark):
+    from rdf_n3_spark.operators.curation import boilerplate_share
+
+    docs = _docs(spark, [(0, "a b c d"), (1, "a b c e")])
+    plan = boilerplate_share(docs, n=3, min_docs=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
