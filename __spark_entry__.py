@@ -39,6 +39,7 @@ from rdf_n3_spark.operators.curation import (
     decontaminate,
     pack_sequences,
 )
+from rdf_n3_spark.operators.events import event_rollup
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
@@ -634,6 +635,27 @@ def _q_builtin_string(spark, sf_dir):
     return sol.select("doc_id", "cat", "w1", "src2", "fmt", "typed", "tagged")
 
 
+def _q_events_asof(spark, sf_dir):
+    """As-of attribution: each purchase event attached to the user's
+    most recent (ts ≤ purchase ts) signup event — the union-tag
+    carry-forward plan, one user_id shuffle, no range join."""
+    from rdf_n3_spark.operators.events import asof_join, latest_per_ts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = latest_per_ts(ev.filter(F.col("event_type") == "signup"))
+    j = asof_join(left, right, key="user_id", ts="ts",
+                  right_cols=("event_id", "value"))
+    return j.select(
+        "event_id", "user_id",
+        # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+        # cast is instant-preserving and matches DuckDB's naive-as-UTC
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("ref_event_id").cast("bigint").alias("ref_event_id"),
+        F.round(F.col("ref_value") * 100).cast("bigint").alias("ref_cents"),
+    )
+
+
 def _q_builtin_time(spark, sf_dir):
     """SURVEY §2.8 time vocabulary: component extraction is validity-
     gated on the LEXICAL form (time/hour.rb:29-32), so operate on the
@@ -951,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
         "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
+        "events_asof": _q_events_asof,
+        "event_rollup": lambda s, d: event_rollup(
+            s.read.parquet(f"{d}/events.parquet"), unit="hour"),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -1554,6 +1579,35 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    coalesce(c, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id % 20 <> 7
+        """,
+        # mirrors events.asof_join: purchases ASOF LEFT JOIN the
+        # (user_id, ts)-deduped signups — DuckDB's native ASOF is the
+        # oracle for the union-tag carry-forward plan
+        "events_asof": """
+            WITH sig AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'signup')
+              WHERE rn = 1
+            ),
+            pur AS (SELECT * FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   s.event_id AS ref_event_id,
+                   CAST(round(s.value * 100) AS BIGINT) AS ref_cents
+            FROM pur p ASOF LEFT JOIN sig s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # mirrors events.event_rollup (hourly buckets, exact cents)
+        "event_rollup": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+            FROM events GROUP BY 1, 2
         """,
         # mirrors curation.boilerplate_ngrams (n=3 word-grams, DF >= 5):
         # per-doc DISTINCT shingles, so count(*) IS document frequency

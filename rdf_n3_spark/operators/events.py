@@ -1,0 +1,110 @@
+"""Time-series operators over the events stream: as-of join and
+tumbling-window rollups.
+
+Beyond-reference per the brief (custom operators Spark lacks): the
+as-of join is the canonical "attach the latest prior reference row"
+primitive (trades, sensor reads, attribution), and the rollup is the
+hypertable-style time-bucketed aggregate.
+
+Scale shapes:
+
+* :func:`asof_join` — the UNION-TAG plan, not a range join: tag both
+  sides, union, and carry the latest right-side row forward onto each
+  left row with one ``last(..., ignorenulls=True)`` running window
+  per join key.  ONE shuffle on the join key, zero row explosion —
+  a naive ``l.ts >= r.ts`` theta-join materializes O(|L|·|R|/keys)
+  intermediate rows before picking the max, which dies on hot keys at
+  100 TB; the union-tag plan is linear in |L|+|R| regardless of skew.
+
+* :func:`event_rollup` — ``date_trunc`` bucketing + one map-side-
+  combinable groupBy.  Money stays exact: DOUBLE values become
+  bigint cents BEFORE the sum (float sums are order-nondeterministic
+  across engines and partitionings; integer sums are associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts: str = "ts", right_cols: tuple[str, ...] = ("event_id", "value"),
+              prefix: str = "ref_") -> DataFrame:
+    """LEFT AS-OF join: every ``left`` row, plus the columns of the
+    single ``right`` row with the greatest ``ts`` ≤ the left row's
+    ``ts`` for the same ``key`` (NULLs when no prior right row).
+
+    Tie contract (mirrored by the DuckDB ``ASOF LEFT JOIN`` oracle,
+    which requires a unique right side per (key, ts)): callers must
+    pre-dedup the right side to one row per (key, ts); see
+    :func:`latest_per_ts`.  Equal timestamps match (≤, not <), and a
+    right row never matches a left row of an earlier timestamp.
+
+    Plan: union-tag + per-key running ``last(ignorenulls)`` ordered by
+    (ts, side) — side 0 sorts right rows before left rows at equal ts
+    so an equal-ts reference is visible to its left row."""
+    rtag = right.select(
+        F.col(key).alias("__k"), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    lcols = left.columns
+    ltag = left.select(
+        F.col(key).alias("__k"), F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(rtag.schema[f"__r_{c}"].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ltag.unionByName(rtag, allowMissingColumns=True).select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+          for c in right_cols],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[f"{prefix}{c}" for c in right_cols]
+    )
+
+
+def latest_per_ts(df: DataFrame, key: str = "user_id", ts: str = "ts",
+                  order: str = "event_id") -> DataFrame:
+    """One row per (key, ts): the max-``order`` row — the deterministic
+    right-side pre-dedup :func:`asof_join`'s tie contract needs."""
+    w = Window.partitionBy(key, ts).orderBy(F.col(order).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def event_rollup(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """(bucket_epoch, event_type, n_events, total_cents, max_cents) —
+    tumbling-window rollup.  One ``date_trunc`` + one partial-agg
+    groupBy; buckets are epoch bigints and money is exact cents, so
+    any engine reproduces the row set bit-for-bit."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.select(
+            F.date_trunc(unit, F.col("ts")).alias("__b"),
+            "event_type",
+            cents.alias("__cents"),
+        )
+        .groupBy("__b", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__cents").alias("total_cents"),
+            F.max("__cents").alias("max_cents"),
+        )
+        .select(
+            # cast handles TIMESTAMP_NTZ sources (instant-preserving
+            # under the repo's pinned-UTC session timezone)
+            F.unix_timestamp(F.col("__b").cast("timestamp"))
+            .cast("bigint").alias("bucket_epoch"),
+            "event_type", "n_events", "total_cents", "max_cents",
+        )
+    )

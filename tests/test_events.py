@@ -1,0 +1,88 @@
+"""Time-series operators: as-of join (union-tag carry-forward plan)
+and tumbling-window rollup.  Semantics pinned on hand-built event
+streams; the one-shuffle/no-range-join shape pinned as a plan audit.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.events import asof_join, event_rollup, latest_per_ts
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+
+
+def test_asof_picks_latest_prior_per_key(spark):
+    left = _events(spark, [(10, _ts(30), 1, 0.0), (11, _ts(30), 2, 0.0)])
+    right = _events(spark, [
+        (1, _ts(10), 1, 1.0),   # older
+        (2, _ts(20), 1, 2.0),   # latest prior for user 1
+        (3, _ts(40), 1, 3.0),   # future: must not match
+        (4, _ts(25), 2, 4.0),   # user 2's only prior
+    ])
+    rows = {r["event_id"]: r for r in
+            asof_join(left, right).collect()}
+    assert rows[10]["ref_event_id"] == 2 and rows[10]["ref_value"] == 2.0
+    assert rows[11]["ref_event_id"] == 4
+
+
+def test_asof_equal_ts_matches_and_no_prior_is_null(spark):
+    left = _events(spark, [(10, _ts(30), 1, 0.0), (11, _ts(5), 1, 0.0)])
+    right = _events(spark, [(1, _ts(30), 1, 9.0)])
+    rows = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    # ts equality matches (<=), and a left row before any right row
+    # gets NULLs, not a dropped row (LEFT as-of)
+    assert rows[10]["ref_event_id"] == 1
+    assert rows[11]["ref_event_id"] is None and rows[11]["ref_value"] is None
+
+
+def test_asof_keys_do_not_leak_across_users(spark):
+    left = _events(spark, [(10, _ts(30), 2, 0.0)])
+    right = _events(spark, [(1, _ts(10), 1, 1.0)])
+    [r] = asof_join(left, right).collect()
+    assert r["ref_event_id"] is None
+
+
+def test_latest_per_ts_keeps_max_order_row(spark):
+    df = _events(spark, [
+        (1, _ts(10), 1, 1.0), (5, _ts(10), 1, 5.0), (3, _ts(10), 1, 3.0)])
+    [r] = latest_per_ts(df).collect()
+    assert r["event_id"] == 5 and r["value"] == 5.0
+
+
+def test_asof_plan_is_single_shuffle_no_range_join(spark):
+    left = _events(spark, [(10, _ts(30), 1, 0.0)])
+    right = _events(spark, [(1, _ts(10), 1, 1.0)])
+    plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    # the union-tag plan: a window over one key exchange; no joins at all
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_event_rollup_buckets_and_exact_cents(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(10), 1, "purchase", 1.10),
+            (2, _ts(50), 1, "purchase", 2.25),
+            (3, dt.datetime(2024, 1, 1, 1, 5), 1, "purchase", 4.00),
+            (4, _ts(20), 2, "error", 0.55),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    rows = {(r["bucket_epoch"], r["event_type"]): r
+            for r in event_rollup(df, unit="hour").collect()}
+    h0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert rows[(h0, "purchase")]["n_events"] == 2
+    assert rows[(h0, "purchase")]["total_cents"] == 335
+    assert rows[(h0, "purchase")]["max_cents"] == 225
+    assert rows[(h0 + 3600, "purchase")]["total_cents"] == 400
+    assert rows[(h0, "error")]["total_cents"] == 55
