@@ -635,6 +635,17 @@ def _q_builtin_string(spark, sf_dir):
     return sol.select("doc_id", "cat", "w1", "src2", "fmt", "typed", "tagged")
 
 
+def _q_pagerank(spark, sf_dir):
+    """Quantized 3-iteration PageRank over the entity graph's node-ref
+    edges — the iterative-algorithm surface, exact-int so the unrolled
+    DuckDB CTE reproduces the fixpoint bit-for-bit."""
+    from rdf_n3_spark.operators.graph_algo import pagerank_quantized
+
+    edges = graph_edges(_all_triples(spark, sf_dir)).select(
+        F.col("s").alias("src"), F.col("o").alias("dst"))
+    return pagerank_quantized(edges, iterations=3)
+
+
 def _q_events_asof(spark, sf_dir):
     """As-of attribution: each purchase event attached to the user's
     most recent (ts ≤ purchase ts) signup event — the union-tag
@@ -973,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
         "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
+        "graph_pagerank": _q_pagerank,
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
             s.read.parquet(f"{d}/events.parquet"), unit="hour"),
@@ -981,6 +993,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_share": lambda s, d: boilerplate_share(
             _docs(s, d), n=3, min_docs=5),
     }
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE mirror of graph_algo.pagerank_quantized over the
+    node-ref edge set: bigint ppb ranks, `//` = Spark's `div`, sums
+    cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT)."""
+    sql = f"""
+        {_TRIPLES},
+        edges AS (
+          SELECT DISTINCT s AS src, o AS dst FROM triples
+          WHERE regexp_matches(o, '^(ent|conv|sk):')
+        ),
+        nodes AS (
+          -- explicit DISTINCT: under the WITH RECURSIVE umbrella the
+          -- bare UNION's dedup is not applied to non-recursive CTEs
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst AS node FROM edges)
+        ),
+        outd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+        c{i} AS (
+          SELECT e.dst AS node, CAST(sum(r.rank // o.d) AS BIGINT) AS contrib
+          FROM edges e JOIN r{i - 1} r ON r.node = e.src
+                       JOIN outd o ON o.src = e.src
+          GROUP BY e.dst),
+        r{i} AS (
+          SELECT n.node,
+                 CAST(150000000 + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN c{i} c USING (node))"""
+    return sql + f"\n        SELECT node AS node_id, rank AS rank_ppb FROM r{iters}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1583,6 +1628,7 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # mirrors events.asof_join: purchases ASOF LEFT JOIN the
         # (user_id, ts)-deduped signups — DuckDB's native ASOF is the
         # oracle for the union-tag carry-forward plan
+        "graph_pagerank": _pagerank_oracle(3),
         "events_asof": """
             WITH sig AS (
               SELECT user_id, ts, event_id, value FROM (

@@ -1,0 +1,68 @@
+"""Iterative graph algorithms over the materialized entity graph.
+
+:func:`pagerank_quantized` — fixed-iteration PageRank in EXACT integer
+arithmetic (ranks are bigint "ppb" units, contributions use integer
+division) so the fixpoint is bit-identical on any engine, partitioning,
+or cluster size: float PageRank sums are order-nondeterministic, which
+would break both the DuckDB oracle and cross-run reproducibility at
+100 TB.  Dangling-node mass leaks (no redistribution) — deterministic
+and documented; ranking order is what downstream curation consumes.
+
+Scale shape per iteration: the rank table is NODE-sized (≪ edges);
+edges ⋈ ranks is a src-keyed equi-join (AQE broadcasts when ranks fit,
+else a co-partitioned shuffle the next iteration reuses), and the
+dst-keyed contribution sum is map-side combinable, so hub in-degree
+skew collapses to one partial per partition.  Lineage is cut with a
+per-iteration ``localCheckpoint`` like the reasoner's semi-naive
+fixpoint (plans/bgp.py) — without it the plan doubles per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # rank unit: parts-per-billion of the init mass
+
+
+def pagerank_quantized(edges: DataFrame, iterations: int = 3,
+                       scale: int = SCALE) -> DataFrame:
+    """(node_id, rank_ppb) after ``iterations`` damped rounds over the
+    DISTINCT (src, dst) edge set.
+
+    Update rule (mirrored exactly by the unrolled-CTE oracle):
+        contrib(n) = Σ_{src→n} rank(src) div out_deg(src)
+        rank'(n)   = 0.15·scale + (85·contrib(n)) div 100
+    with every op on bigints — `div` is floor division, values are
+    non-negative, and bigint sums are associative, so the result is
+    independent of evaluation order."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    base = 15 * scale // 100
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outd, "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr("(85 * coalesce(contrib, 0)) div 100"))
+                .cast("bigint").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("node_id"),
+                        F.col("rank").alias("rank_ppb"))
