@@ -33,6 +33,7 @@ from rdf_n3_spark.operators.sampling import (
 from rdf_n3_spark.operators.curation import (
     boilerplate_ngrams,
     boilerplate_share,
+    chunk_dedup,
     chunk_documents,
     corpus_split,
     curate_corpus,
@@ -978,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate,
         "corpus_split": lambda s, d: corpus_split(_docs(s, d)),
         "doc_chunks": lambda s, d: chunk_documents(_docs(s, d)),
+        "chunk_dedup": lambda s, d: chunk_dedup(_docs(s, d)),
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
@@ -993,6 +995,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_share": lambda s, d: boilerplate_share(
             _docs(s, d), n=3, min_docs=5),
     }
+
+
+# content-defined chunking (curation.chunk_documents) as a reusable
+# fragment: cut-flag per token position + prefix-sum chunk ids
+_CHUNKS_SQL = """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), pos AS (
+              SELECT doc_id, i, t[i] AS tok,
+                     CASE WHEN i >= 3 AND i < len(t)
+                          AND ('0x' || substr(md5(array_to_string(t[i-2:i], ' ')), 1, 8))::BIGINT
+                              % 16 = 0
+                     THEN 1 ELSE 0 END AS cut
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+            ), chunks AS (
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   string_agg(tok, ' ' ORDER BY i) AS chunk,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, i, tok,
+                         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                  0) AS chunk_idx
+                  FROM pos)
+            GROUP BY doc_id, chunk_idx
+            )
+"""
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -1813,27 +1842,19 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # content-defined chunk boundaries from the md5 rolling hash of
         # the trailing 3-token window, replayed via a prefix-sum of cut
         # flags over the unnested token stream
-        "doc_chunks": """
-            WITH toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-            ), pos AS (
-              SELECT doc_id, i, t[i] AS tok,
-                     CASE WHEN i >= 3 AND i < len(t)
-                          AND ('0x' || substr(md5(array_to_string(t[i-2:i], ' ')), 1, 8))::BIGINT
-                              % 16 = 0
-                     THEN 1 ELSE 0 END AS cut
-              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
-            )
-            SELECT doc_id,
-                   CAST(chunk_idx AS INT) AS chunk_idx,
-                   string_agg(tok, ' ' ORDER BY i) AS chunk,
-                   CAST(count(*) AS BIGINT) AS n_tokens
-            FROM (SELECT doc_id, i, tok,
-                         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                                  0) AS chunk_idx
-                  FROM pos)
-            GROUP BY doc_id, chunk_idx
+        "doc_chunks": f"""
+            {_CHUNKS_SQL}
+            SELECT doc_id, chunk_idx, chunk, n_tokens FROM chunks
+        """,
+        # mirrors curation.chunk_dedup: exact dedup over the same
+        # content-defined chunks (substring-dedup stand-in)
+        "chunk_dedup": f"""
+            {_CHUNKS_SQL}
+            SELECT md5(chunk) AS chunk_hash,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS survivor
+            FROM chunks GROUP BY md5(chunk)
         """,
         # mirrors sampling.corpus_sample (pct=10): seeded md5-bucket
         # Bernoulli membership, monotone in pct

@@ -237,6 +237,32 @@ def boilerplate_share(documents: DataFrame, n: int = 3,
     )
 
 
+def chunk_dedup(documents: DataFrame, window: int = 3,
+                divisor: int = 16, text_col: str = "text") -> DataFrame:
+    """(chunk_hash, n_copies, n_docs, survivor) — EXACT dedup at the
+    content-defined-chunk level: the scalable stand-in for
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") — repeated passages shared
+    across otherwise-distinct documents land in identical chunks
+    because :func:`chunk_documents` boundaries are content-defined,
+    so a plain hash-groupBy finds them.
+
+    One map-side-combinable shuffle keyed on the chunk hash; the
+    distinct-doc count rides the same exchange (partial distinct on
+    (hash, doc_id)).  Emits every chunk group (n_copies = 1 included),
+    matching :func:`~rdf_n3_spark.operators.dedup.exact_dedup`'s
+    contract; filter ``n_copies > 1`` for the dup report."""
+    ch = chunk_documents(documents, window, divisor, text_col)
+    return (
+        ch.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("survivor"),
+        )
+    )
+
+
 def corpus_split(documents: DataFrame, train_pct: int = 90,
                  val_pct: int = 5, seed: str = "split-v1") -> DataFrame:
     """(doc_id, split) — deterministic, engine-portable train/val/test

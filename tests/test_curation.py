@@ -381,3 +381,22 @@ def test_boilerplate_share_is_broadcast_join(spark):
     plan = boilerplate_share(docs, n=3, min_docs=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_finds_shared_passages(spark):
+    from rdf_n3_spark.operators.curation import chunk_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(80))
+    docs = _docs(spark, [
+        (0, "intro alpha " + shared + " outro beta"),
+        (1, "different opening words " + shared + " and a new tail"),
+        (2, "entirely unrelated content with no overlap at all"),
+    ])
+    rows = chunk_dedup(docs).collect()
+    # at least one chunk group is shared by BOTH docs 0 and 1
+    shared_groups = [r for r in rows if r["n_docs"] == 2]
+    assert shared_groups, "content-defined chunks must align on the shared passage"
+    assert all(r["survivor"] == 0 for r in shared_groups)
+    # totals: every chunk occurrence is accounted for exactly once
+    from rdf_n3_spark.operators.curation import chunk_documents
+    assert sum(r["n_copies"] for r in rows) == chunk_documents(docs).count()
