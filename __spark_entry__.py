@@ -40,7 +40,7 @@ from rdf_n3_spark.operators.curation import (
     decontaminate,
     pack_sequences,
 )
-from rdf_n3_spark.operators.events import event_rollup
+from rdf_n3_spark.operators.events import event_rollup, sessionize_batch
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
@@ -990,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
             s.read.parquet(f"{d}/events.parquet"), unit="hour"),
+        "event_sessions": lambda s, d: sessionize_batch(
+            s.read.parquet(f"{d}/events.parquet"), gap_minutes=30),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -1674,6 +1676,28 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    CAST(round(s.value * 100) AS BIGINT) AS ref_cents
             FROM pur p ASOF LEFT JOIN sig s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # mirrors events.sessionize_batch (30-min gap, per-user): the
+        # same two-pass window — start flag, then running sum / running
+        # last-start-rank on the identical frame
+        "event_sessions": """
+            WITH ordered AS (
+              SELECT event_id, user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS s,
+                     row_number() OVER w - 1 AS rnk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(s) OVER w2 - 1 AS BIGINT) AS session_idx,
+                   CAST(rnk - max(CASE WHEN s = 1 THEN rnk END) OVER w2
+                        AS BIGINT) AS session_event_idx
+            FROM ordered
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY rnk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         # mirrors events.event_rollup (hourly buckets, exact cents)
         "event_rollup": """

@@ -138,12 +138,38 @@ def main() -> None:
     minhash = sink(minhash_neardup_pairs(docs_tbl))
     ann = sink(ivf_topk(embs_tbl, hamming=1).drop("cos"))
 
+    # iterative-path evidence row: PageRank over the UNREPLICATED
+    # sf-dir entity graph (mult-independent like the other evidence
+    # rows). pagerank_quantized materializes per-iteration checkpoints
+    # eagerly, so each timed run re-invokes the whole function — the
+    # plan-rewrap trick would only re-scan the final checkpoint.
+    from rdf_n3_spark.operators.graph_algo import pagerank_quantized
+    from rdf_n3_spark.sources.transcripts import transcripts as mk_transcripts
+
+    m1 = extract_mentions(mk_transcripts(spark, sf_dir, mult=1))
+    edges = (
+        mention_triples(m1).unionByName(entity_triples(m1))
+        .where(F.col("o").rlike("^(ent|conv|sk):"))
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .localCheckpoint()
+    )
+
+    def timed_pagerank() -> float:
+        def run():
+            t0 = time.perf_counter()
+            sink(pagerank_quantized(edges, iterations=3)).collect()
+            return time.perf_counter() - t0
+        run()  # warm
+        agg = min if stat == "min" else statistics.median
+        return round(agg(run() for _ in range(runs)), 4)
+
     per_query = {
         "kg_pipeline": timed_runs(kg, runs, stat),
         "n3_parse_udf": timed_runs(parse, runs, stat),
         "entity_canon": timed_runs(canon, runs, stat),
         "dedup_minhash": timed_runs(minhash, runs, stat),
         "ann_ivf_multiprobe": timed_runs(ann, runs, stat),
+        "graph_pagerank": timed_pagerank(),
     }
     total = sum(per_query.values())
     turns_per_sec = round(n_turns / per_query["kg_pipeline"], 1)

@@ -82,6 +82,44 @@ def latest_per_ts(df: DataFrame, key: str = "user_id", ts: str = "ts",
     )
 
 
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
+                     key: str = "user_id", ts: str = "ts") -> DataFrame:
+    """(event_id, user_id, session_idx, session_event_idx) — batch
+    gap-based sessionization, the batch twin of
+    ``streaming/sessionize.py``: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_minutes``.
+
+    The classic two-window plan: lag(ts) per key → boolean
+    session-start flag → running sum = session index.  Both windows
+    share ONE key-ordered exchange (same partition + sort keys, Spark
+    plans a single Window node chain), so the whole operator costs one
+    shuffle.  Ties are broken by event_id in the sort so the
+    assignment is total-order deterministic."""
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.col(ts)).over(w)
+    is_start = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))) > gap_us)
+    ).cast("bigint")
+    flagged = events.select(
+        "event_id", F.col(key), F.col(ts),
+        is_start.alias("__s"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("__rank"),
+    )
+    # running last-start-rank on the SAME window spec — no second
+    # exchange (a (key, session_idx)-partitioned window would reshuffle)
+    return flagged.select(
+        "event_id", key,
+        (F.sum("__s").over(run) - 1).cast("bigint").alias("session_idx"),
+        (F.col("__rank")
+         - F.max(F.when(F.col("__s") == 1, F.col("__rank"))).over(run))
+        .cast("bigint").alias("session_event_idx"),
+    )
+
+
 def event_rollup(events: DataFrame, unit: str = "hour") -> DataFrame:
     """(bucket_epoch, event_type, n_events, total_cents, max_cents) —
     tumbling-window rollup.  One ``date_trunc`` + one partial-agg

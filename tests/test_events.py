@@ -86,3 +86,38 @@ def test_event_rollup_buckets_and_exact_cents(spark):
     assert rows[(h0, "purchase")]["max_cents"] == 225
     assert rows[(h0 + 3600, "purchase")]["total_cents"] == 400
     assert rows[(h0, "error")]["total_cents"] == 55
+
+
+def test_sessionize_batch_gap_splits_sessions(spark):
+    from rdf_n3_spark.operators.events import sessionize_batch
+
+    df = _events(spark, [
+        (1, _ts(0), 1, 0.0),
+        (2, _ts(10), 1, 0.0),        # 10 min gap: same session
+        (3, _ts(55), 1, 0.0),        # 45 min gap: new session
+        (4, _ts(56), 1, 0.0),
+        (5, _ts(5), 2, 0.0),         # other user: own numbering
+    ])
+    rows = {r["event_id"]: (r["session_idx"], r["session_event_idx"])
+            for r in sessionize_batch(df, gap_minutes=30).collect()}
+    assert rows[1] == (0, 0) and rows[2] == (0, 1)
+    assert rows[3] == (1, 0) and rows[4] == (1, 1)
+    assert rows[5] == (0, 0)
+
+
+def test_sessionize_batch_exact_gap_is_same_session(spark):
+    from rdf_n3_spark.operators.events import sessionize_batch
+
+    df = _events(spark, [(1, _ts(0), 1, 0.0), (2, _ts(30), 1, 0.0)])
+    rows = {r["event_id"]: r["session_idx"]
+            for r in sessionize_batch(df, gap_minutes=30).collect()}
+    # gap == threshold does NOT start a new session (strict >)
+    assert rows[1] == 0 and rows[2] == 0
+
+
+def test_sessionize_batch_single_exchange(spark):
+    from rdf_n3_spark.operators.events import sessionize_batch
+
+    df = _events(spark, [(1, _ts(0), 1, 0.0)])
+    plan = sessionize_batch(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
