@@ -36,7 +36,11 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3,
     with every op on bigints — `div` is floor division, values are
     non-negative, and bigint sums are associative, so the result is
     independent of evaluation order."""
-    e = edges.select("src", "dst").distinct()
+    # checkpoint the loop-invariant tables ONCE — each iteration's
+    # eager checkpoint is an action, and without this the edge
+    # distinct (and whatever upstream pipeline feeds it) would be
+    # recomputed per iteration
+    e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -44,12 +48,17 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3,
         .localCheckpoint()
     )
     outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # fold the out-degree into the edge table once (it is loop-
+    # invariant) and pre-partition by src: each iteration then
+    # exchanges only the NODE-sized rank table — the edge side's
+    # partitioning is reused from the checkpoint, so the big table is
+    # shuffled zero times per iteration instead of twice
+    e2 = e.join(outd, "src").repartition("src").localCheckpoint()
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     base = 15 * scale // 100
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outd, "src")
+            e2.join(ranks, e2["src"] == ranks["node"])
             .select("dst", F.expr("rank div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
