@@ -40,7 +40,11 @@ from rdf_n3_spark.operators.curation import (
     decontaminate,
     pack_sequences,
 )
-from rdf_n3_spark.operators.events import event_rollup, sessionize_batch
+from rdf_n3_spark.operators.events import (
+    event_quantiles,
+    event_rollup,
+    sessionize_batch,
+)
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
 from rdf_n3_spark.plans.graph_ops import graph_includes, graph_not_includes, output_strings
 from rdf_n3_spark.operators.canon import canonical_map, verified_pairs
@@ -992,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet"), unit="hour"),
         "event_sessions": lambda s, d: sessionize_batch(
             s.read.parquet(f"{d}/events.parquet"), gap_minutes=30),
+        "event_quantiles": lambda s, d: event_quantiles(
+            s.read.parquet(f"{d}/events.parquet")),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -1698,6 +1704,23 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             FROM ordered
             WINDOW w2 AS (PARTITION BY user_id ORDER BY rnk
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # mirrors events.event_quantiles: exact nearest-rank(lower)
+        # element selection — bit-portable, unlike sketch/interpolated
+        # percentiles
+        "event_quantiles": """
+            WITH r AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY CAST(round(value * 100) AS BIGINT),
+                                                 event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            )
+            SELECT event_type, CAST(p AS INT) AS p, cents AS cents_at_p
+            FROM r, (VALUES (50), (95), (99)) probs(p)
+            WHERE rn = ((n - 1) * p) // 100 + 1
         """,
         # mirrors events.event_rollup (hourly buckets, exact cents)
         "event_rollup": """

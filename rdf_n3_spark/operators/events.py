@@ -120,6 +120,40 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def event_quantiles(events: DataFrame,
+                    probs: tuple[int, ...] = (50, 95, 99)) -> DataFrame:
+    """(event_type, p, cents_at_p) — EXACT nearest-rank (lower)
+    percentiles of the cents-quantized value per event type:
+    the element at row_number ``(n-1)·p div 100 + 1`` in (cents,
+    event_id) order.  Element selection, not interpolation —
+    ``percentile_approx`` sketches differ across engines and
+    ``percentile`` interpolates in floats; a selected element is
+    bit-portable by construction.
+
+    One event_type-keyed exchange: row_number and the partition count
+    share the window spec, and the per-row percent explode is a
+    narrow map.  At 100 TB a global sort per type is the exact-answer
+    cost floor; for sketch-grade answers the rollup + a t-digest UDF
+    would be the cheap path (not needed for the contract)."""
+    w = Window.partitionBy("event_type").orderBy("__cents", "event_id")
+    ranked = events.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("__cents"),
+    ).select(
+        "event_type", "__cents",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("__n"),
+    )
+    return (
+        ranked.select(
+            "event_type", "__cents", "__rn", "__n",
+            F.explode(F.array(*[F.lit(int(p)) for p in probs])).alias("p"),
+        )
+        .filter(F.col("__rn") == F.expr("((__n - 1) * p) div 100 + 1"))
+        .select("event_type", "p", F.col("__cents").alias("cents_at_p"))
+    )
+
+
 def event_rollup(events: DataFrame, unit: str = "hour") -> DataFrame:
     """(bucket_epoch, event_type, n_events, total_cents, max_cents) —
     tumbling-window rollup.  One ``date_trunc`` + one partial-agg

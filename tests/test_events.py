@@ -121,3 +121,31 @@ def test_sessionize_batch_single_exchange(spark):
     df = _events(spark, [(1, _ts(0), 1, 0.0)])
     plan = sessionize_batch(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_event_quantiles_nearest_rank(spark):
+    from rdf_n3_spark.operators.events import event_quantiles
+
+    # 10 purchase rows with cents 100..1000: p50 → rank (9*50)//100+1=5
+    # (cents 500), p95 → rank 9, p99 → rank 9
+    rows = [(i, _ts(i), 1, "purchase", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    got = {(r["event_type"], r["p"]): r["cents_at_p"]
+           for r in event_quantiles(df).collect()}
+    assert got[("purchase", 50)] == 500
+    assert got[("purchase", 95)] == 900
+    assert got[("purchase", 99)] == 900
+
+
+def test_event_quantiles_single_row_all_probs(spark):
+    from rdf_n3_spark.operators.events import event_quantiles
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, "error", 3.5)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    got = event_quantiles(df).collect()
+    assert len(got) == 3 and all(r["cents_at_p"] == 350 for r in got)
