@@ -640,6 +640,27 @@ def _q_builtin_string(spark, sf_dir):
     return sol.select("doc_id", "cat", "w1", "src2", "fmt", "typed", "tagged")
 
 
+def _q_comention(spark, sf_dir):
+    """Entity co-mention graph: undirected weighted edges between
+    entities sharing a conversation."""
+    from rdf_n3_spark.operators.graph_algo import cooccurrence_edges
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return cooccurrence_edges(m, group="conv_id", node="norm")
+
+
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle participation over the co-mention graph,
+    degree-ordered orientation (each triangle enumerated once)."""
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return triangle_counts(cooccurrence_edges(m, group="conv_id", node="norm"))
+
+
 def _q_pagerank(spark, sf_dir):
     """Quantized 3-iteration PageRank over the entity graph's node-ref
     edges — the iterative-algorithm surface, exact-int so the unrolled
@@ -991,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
         "graph_pagerank": _q_pagerank,
+        "comention_edges": _q_comention,
+        "triangle_counts": _q_triangles,
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
             s.read.parquet(f"{d}/events.parquet"), unit="hour"),
@@ -1666,6 +1689,43 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # (user_id, ts)-deduped signups — DuckDB's native ASOF is the
         # oracle for the union-tag carry-forward plan
         "graph_pagerank": _pagerank_oracle(3),
+        # mirrors graph_algo.cooccurrence_edges over (conv_id, norm)
+        "comention_edges": f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions)
+            SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS weight
+            FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+            GROUP BY a.n, b.n
+        """,
+        # mirrors graph_algo.triangle_counts: degree-ordered
+        # orientation → wedge join → closure; explode corners
+        "triangle_counts": f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            eg AS (SELECT a.n AS u, b.n AS v
+                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                   GROUP BY a.n, b.n),
+            degs AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT u AS n FROM eg UNION ALL SELECT v AS n FROM eg)
+              GROUP BY n),
+            oriented AS (
+              SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                          THEN e.u ELSE e.v END AS s,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                          THEN e.v ELSE e.u END AS t
+              FROM eg e JOIN degs du ON du.n = e.u JOIN degs dv ON dv.n = e.v),
+            tri AS (
+              SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM oriented e1
+              JOIN oriented e2 ON e2.s = e1.t
+              JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b AS node FROM tri
+                  UNION ALL SELECT c AS node FROM tri)
+            GROUP BY node
+        """,
         "events_asof": """
             WITH sig AS (
               SELECT user_id, ts, event_id, value FROM (

@@ -25,6 +25,76 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # rank unit: parts-per-billion of the init mass
 
 
+def cooccurrence_edges(df: DataFrame, group: str, node: str) -> DataFrame:
+    """(u, v, weight) — undirected co-occurrence edges: u < v appear in
+    ``weight`` common groups.  The KG co-mention graph constructor
+    (entities sharing a conversation, terms sharing a document, …).
+
+    Per-group self-join emits Σ_g (k_g choose 2) pairs — linear in the
+    true output, NOT |df|²; group sizes (distinct nodes per group) are
+    naturally small even when a NODE is globally hot, so the join key
+    (the group) is skew-benign, and the pair count agg is map-side
+    combinable."""
+    m = df.select(F.col(group).alias("g"), F.col(node).alias("n")).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, "g")
+        .where(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) — triangles each node participates in, over
+    an undirected edge set given as canonical (u, v) with u < v.
+
+    Degree-ordered orientation (the standard distributed-triangle
+    trick): direct every edge from the (degree, id)-smaller endpoint
+    to the larger, enumerate wedges src→mid→far, and close them
+    against the oriented edge (src, far).  The orientation is acyclic
+    and total, so each triangle is enumerated EXACTLY once, and the
+    oriented out-degree is O(√m) even for celebrity nodes — the wedge
+    join that explodes on raw hub degree stays bounded at 100 TB.
+    Both joins are equi-joins on node keys (AQE skew-split eligible)."""
+    e = edges.select("u", "v").distinct()
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    # orient by (degree, id): lower endpoint → higher endpoint
+    oriented = (
+        e.join(du, F.col("u") == F.col("du.n"))
+        .join(dv, F.col("v") == F.col("dv.n"))
+        .select(
+            F.when(
+                (F.col("du.d") < F.col("dv.d"))
+                | ((F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            ).otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .localCheckpoint()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")))
+        .select(
+            F.col("e1.s").alias("a"), F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
 def pagerank_quantized(edges: DataFrame, iterations: int = 3,
                        scale: int = SCALE) -> DataFrame:
     """(node_id, rank_ppb) after ``iterations`` damped rounds over the

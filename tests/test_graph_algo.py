@@ -56,3 +56,57 @@ def test_pagerank_is_partitioning_independent(spark):
     r1 = pagerank_quantized(df.repartition(1), iterations=3)
     r32 = pagerank_quantized(df.repartition(32), iterations=3)
     assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r32.collect()))
+
+
+# ----------------------------------------------------------- co-occurrence
+
+def test_cooccurrence_edges_weights_and_canonical_order(spark):
+    from rdf_n3_spark.operators.graph_algo import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "a"), ("g1", "a"),   # dup membership ignored
+         ("g2", "a"), ("g2", "b"), ("g3", "a"), ("g3", "c")],
+        "grp string, ent string",
+    )
+    rows = {(r["u"], r["v"]): r["weight"]
+            for r in cooccurrence_edges(df, "grp", "ent").collect()}
+    assert rows == {("a", "b"): 2, ("a", "c"): 1}
+
+
+# --------------------------------------------------------------- triangles
+
+def _tri_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+def test_triangle_counts_k4(spark):
+    from rdf_n3_spark.operators.graph_algo import triangle_counts
+
+    # K4: every node is in C(3,2)=3 triangles
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    rows = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(_tri_edges(spark, pairs)).collect()}
+    assert rows == {n: 3 for n in nodes}
+
+
+def test_triangle_counts_open_wedge_is_not_a_triangle(spark):
+    from rdf_n3_spark.operators.graph_algo import triangle_counts
+
+    rows = triangle_counts(
+        _tri_edges(spark, [("a", "b"), ("b", "c")])).collect()
+    assert rows == []
+
+
+def test_triangle_counts_hub_fan(spark):
+    from rdf_n3_spark.operators.graph_algo import triangle_counts
+
+    # hub h connected to s0..s9 in a fan; consecutive spokes also
+    # linked → 9 triangles, each spoke in ≤2, hub in all 9
+    pairs = [tuple(sorted(("h", f"s{i}"))) for i in range(10)]
+    pairs += [tuple(sorted((f"s{i}", f"s{i+1}"))) for i in range(9)]
+    rows = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(_tri_edges(spark, pairs)).collect()}
+    assert rows["h"] == 9
+    assert rows["s0"] == 1 and rows["s5"] == 2
+    assert sum(rows.values()) == 27  # 9 triangles x 3 corners
