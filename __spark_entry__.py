@@ -56,6 +56,7 @@ from rdf_n3_spark.operators.dedup import (
     minhash_neardup_pairs,
     neardup_clusters,
     simhash_buckets,
+    simhash_hamming_pairs,
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
 from rdf_n3_spark.operators.mentions import extract_mentions
@@ -349,6 +350,69 @@ WITH tok AS (
 agg AS (SELECT doc_id{_SIMHASH_BITS} FROM tok GROUP BY doc_id),
 sims AS (SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM agg)
 """
+
+
+def _simhash_hamming_sql(k: int = 3, bits: int = 32,
+                         max_bucket: int = 32) -> str:
+    """Oracle mirror of dedup.simhash_hamming_pairs: same signature,
+    same pigeonhole chunk keys, same hot-bucket star-collapse, same
+    exact positional verify — deterministic end to end."""
+    bits_expr = "".join(
+        f", sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    chunks = k + 1
+    base, extra = divmod(bits, chunks)
+    keyed_rows, start = [], 1
+    for c in range(chunks):
+        width = base + (1 if c < extra else 0)
+        keyed_rows.append(
+            f"SELECT doc_id, '{c}|' || substring(simhash, {start}, {width})"
+            f" AS band_key FROM sims"
+        )
+        start += width
+    ham = " + ".join(
+        f"(CASE WHEN substring(sa.simhash, {i + 1}, 1) <> "
+        f"substring(sb.simhash, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+          FROM documents
+        ),
+        agg AS (SELECT doc_id{bits_expr} FROM tok GROUP BY doc_id),
+        sims AS (SELECT doc_id, {sig} AS simhash FROM agg),
+        keyed AS ({' UNION ALL '.join(keyed_rows)}),
+        hot AS (
+          SELECT band_key, min(doc_id) AS bucket_min FROM keyed
+          GROUP BY band_key HAVING count(*) > {max_bucket}
+        ),
+        kept AS (
+          SELECT * FROM keyed
+          WHERE band_key NOT IN (SELECT band_key FROM hot)
+        ),
+        cand AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM kept l JOIN kept r USING (band_key)
+            WHERE l.doc_id < r.doc_id
+            UNION ALL
+            SELECT h.bucket_min AS a, k.doc_id AS b
+            FROM keyed k JOIN hot h USING (band_key)
+            WHERE k.doc_id > h.bucket_min
+          )
+        )
+        SELECT a, b, CAST({ham} AS INT) AS hamming
+        FROM cand
+        JOIN sims sa ON sa.doc_id = cand.a
+        JOIN sims sb ON sb.doc_id = cand.b
+        WHERE {ham} <= {k}
+    """
 
 # quantized embeddings + sign buckets (mirror of dedup.quantize / similarity)
 _QEMB = """
@@ -986,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": lambda s, d: jaccard_neardup_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: neardup_clusters(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_buckets(_docs(s, d)),
+        "dedup_simhash_hamming": lambda s, d: simhash_hamming_pairs(_docs(s, d)),
         "dedup_embedding": lambda s, d: embedding_neardup_pairs(_embs(s, d), threshold=0.35),
         "dedup_embedding_clusters": lambda s, d: embedding_neardup_clusters(_embs(s, d), threshold=0.35),
         "ann_topk": lambda s, d: ann_topk(_embs(s, d)),
@@ -1497,6 +1562,7 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT simhash, count(*) AS n_docs, min(doc_id) AS survivor
             FROM sims GROUP BY simhash
         """,
+        "dedup_simhash_hamming": _simhash_hamming_sql(),
         "dedup_embedding": f"""
             {_QEMB},
             {_EMB_KEYS},

@@ -247,6 +247,74 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(documents: DataFrame, k: int = 3,
+                          bits: int = 32,
+                          max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(a, b, hamming) doc_id pairs whose simhash signatures differ in
+    ≤ k of ``bits`` positions — the fuzzy complement of
+    :func:`simhash_buckets` (which only groups *identical* signatures).
+
+    Blocking is the pigeonhole chunk trick (the shape of Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07): split the
+    signature into k+1 contiguous chunks; two signatures within Hamming
+    distance k disagree in at most k chunks, so they must agree EXACTLY
+    on at least one — the chunk value is a recall-1 equi-join key
+    (unlike MinHash banding, whose candidate recall is probabilistic).
+    The verify is the exact positional disagreement count, so precision
+    is 1 as well: absent hot buckets the output EQUALS brute force,
+    which is what the DuckDB oracle runs through the same plan.
+
+    Scale shape mirrors :func:`minhash_neardup_pairs`: per-chunk
+    equi-self-join, hot chunk buckets (> ``max_bucket`` members —
+    2^chunk_width is the bucket count per chunk, so grow ``bits`` with
+    the corpus) skip the quadratic pairwise join and emit linear star
+    edges through the bucket-min doc instead; within a hot bucket the
+    pair set degrades from complete to star (the same bounded-skew
+    trade as the MinHash path — downstream connected components still
+    merges true near-dup families through the hub)."""
+    chunks = k + 1
+    base, extra = divmod(bits, chunks)
+    # lazy checkpoint: the signature table feeds the chunk keys AND both
+    # sides of the exact verify — computed once, re-read thereafter
+    sig = simhash(documents, bits).localCheckpoint(eager=False)
+    keys, start = [], 1
+    for c in range(chunks):
+        width = base + (1 if c < extra else 0)
+        keys.append(F.concat(F.lit(f"{c}|"), F.substring("simhash", start, width)))
+        start += width
+    keyed = sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
+    hot = (
+        keyed.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("bucket_min"))
+        .where(F.col("n") > max_bucket)
+        .select("band_key", "bucket_min")
+    )
+    kept = keyed.join(F.broadcast(hot.select("band_key")), "band_key", "left_anti")
+    pairwise = (
+        kept.alias("l").join(kept.alias("r"), "band_key")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+    star = (
+        keyed.join(F.broadcast(hot), "band_key")
+        .where(F.col("doc_id") > F.col("bucket_min"))
+        .select(F.col("bucket_min").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = pairwise.unionByName(star).distinct()
+    ham = sum(
+        F.when(
+            F.substring("sa", i + 1, 1) != F.substring("sb", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(bits)
+    )
+    j = (
+        cand.join(sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa")), "a")
+        .join(sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb")), "b")
+        .withColumn("hamming", ham.cast("int"))
+    )
+    return j.where(F.col("hamming") <= k).select("a", "b", "hamming")
+
+
 def simhash_buckets(documents: DataFrame) -> DataFrame:
     """Near-dup candidate groups = identical simhash (bucket id + size)."""
     return (
