@@ -19,6 +19,7 @@ from rdf_n3_spark.functions.text import (
     fingerprint,
     keyword_topk,
     lang_id,
+    search_topk,
     quality_score,
     redact,
     repetition_stats,
@@ -86,6 +87,21 @@ def _docs(spark, sf_dir):
 
 def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_search(spark, sf_dir):
+    """Inverted-index retrieval: the query set is derived
+    deterministically from the corpus itself (first 3 tokens of the 20
+    lowest-doc_id documents) so the oracle replays it exactly — no
+    external query log in the sandbox."""
+    docs = _docs(spark, sf_dir)
+    queries = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower("text"), " "), 1, 3)
+        ).alias("qtext"),
+    )
+    return search_topk(docs, queries, k=10)
 
 
 def _q_redact(spark, sf_dir):
@@ -1071,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda s, d: chunk_documents(_docs(s, d)),
         "chunk_dedup": lambda s, d: chunk_dedup(_docs(s, d)),
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
+        "search_topk": _q_search,
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
@@ -2087,6 +2104,48 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             )
             SELECT doc_id, token, tf, df, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        # mirrors functions.text.search_topk: integer-exact tf-idf
+        # (bigint floor division, both operands positive so DuckDB //
+        # and Spark DIV agree), query set derived from the corpus
+        "search_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            idf AS (SELECT token, (n_docs * 1000) // df AS idf_int
+                    FROM df, n),
+            q AS (
+              SELECT doc_id AS query_id,
+                     array_to_string(
+                       list_slice(string_split(lower(text), ' '), 1, 3),
+                       ' ') AS qtext
+              FROM documents WHERE doc_id < 20
+            ),
+            qtok AS (
+              SELECT DISTINCT query_id,
+                     unnest(string_split(lower(qtext), ' ')) AS token
+              FROM q
+            ),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     CAST(sum(tf.tf * idf.idf_int) AS BIGINT) AS score
+              FROM qtok JOIN tf USING (token) JOIN idf USING (token)
+              GROUP BY query_id, tf.doc_id
+            ),
+            r AS (
+              SELECT query_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank,
+                     doc_id, score
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM r WHERE rank <= 10
         """,
         "doc_fingerprint": """
             WITH sh AS (

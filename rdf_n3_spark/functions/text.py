@@ -209,6 +209,59 @@ def keyword_topk(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def search_topk(documents: DataFrame, queries: DataFrame, k: int = 10,
+                idf_scale: int = 1000) -> DataFrame:
+    """(query_id, rank, doc_id, score) — inverted-index retrieval:
+    top-``k`` documents per query under integer-exact tf-idf.
+
+    score(q, d) = Σ over distinct query tokens t present in d of
+    tf(t, d) · idf_int(t), with idf_int = (N · idf_scale) DIV df(t) —
+    exact bigint floor division, so the score (and therefore the
+    ranking, tie-broken by doc_id) is bit-identical across engines and
+    partitionings; floats (ln-based idf, sum order) are where
+    cross-engine nondeterminism lives, exactly as in
+    :func:`keyword_topk`.
+
+    Scale shape: tf and df are map-side-combinable groupBys over the
+    token explode (one pass, shared); the query-token table is tiny →
+    Catalyst broadcasts it into the posting-list join keyed by token;
+    the per-(query, doc) score is another partial-aggregated sum; the
+    final top-k is one window partitioned by query over rows bounded
+    by the query's posting lists.  Stopword-sized posting lists are
+    the skew risk at corpus scale — AQE skew-join splits them, and
+    retrieval deployments additionally prune query tokens with
+    df/N above a cutoff (the idf_int of such tokens rounds toward 0,
+    so the ranking they influence is the low-signal tail)."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df.join(F.broadcast(n_docs)).select(
+        "token",
+        F.expr(f"CAST(n_docs * {idf_scale} AS BIGINT) DIV df").alias("idf_int"),
+    )
+    qtok = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens(F.col("qtext")))).alias("token"),
+    )
+    scored = (
+        qtok.join(tf, "token")
+        .join(idf, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_int")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", F.row_number().over(w).alias("rank"),
+                      "doc_id", "score")
+        .where(F.col("rank") <= k)
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles
