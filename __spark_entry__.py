@@ -60,6 +60,7 @@ from rdf_n3_spark.operators.dedup import (
     simhash_hamming_pairs,
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
+from rdf_n3_spark.operators.sketch import kmv_distinct_tokens
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.multimodal import (
     extract_features,
@@ -1088,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": lambda s, d: chunk_dedup(_docs(s, d)),
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
         "search_topk": _q_search,
+        "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
@@ -2146,6 +2148,34 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             )
             SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
             FROM r WHERE rank <= 10
+        """,
+        # mirrors operators.sketch.kmv_distinct_tokens: bottom-k md5,
+        # estimate = ONE double division of exactly-representable ints
+        # (63·2^60 and kth_int < 2^60) — IEEE-identical across engines
+        "kmv_distinct": """
+            WITH toks AS (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ),
+            h AS (SELECT DISTINCT source, md5(tok) AS h FROM toks),
+            r AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+              FROM h
+            ),
+            tk AS (
+              SELECT source, count(*) AS n_seen, max(h) AS max_h
+              FROM r WHERE rk <= 64 GROUP BY source
+            )
+            SELECT source, n_seen,
+                   CASE WHEN n_seen >= 64 THEN max_h END AS kth_hash,
+                   CASE WHEN n_seen < 64 THEN CAST(n_seen AS BIGINT)
+                        ELSE CAST(floor(
+                          63.0 * 1152921504606846976.0
+                          / CAST('0x' || substr(max_h, 1, 15) AS BIGINT)
+                        ) AS BIGINT)
+                   END AS est_distinct
+            FROM tk
         """,
         "doc_fingerprint": """
             WITH sh AS (
