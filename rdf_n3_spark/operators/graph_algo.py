@@ -107,23 +107,38 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3,
     non-negative, and bigint sums are associative, so the result is
     independent of evaluation order."""
     # checkpoint the loop-invariant tables ONCE — each iteration's
-    # eager checkpoint is an action, and without this the edge
+    # eager checkpoint is an action, and without that the edge
     # distinct (and whatever upstream pipeline feeds it) would be
-    # recomputed per iteration
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    # recomputed per iteration.  ONE edge-sized exchange funds the
+    # whole setup: hash-partitioning on src SATISFIES the clustered-
+    # distribution requirement of the (src, dst) distinct, the
+    # out-degree groupBy(src), AND the src join — Catalyst inserts no
+    # further Exchange for any of them (pinned by
+    # tests/test_graph_algo.py::test_pagerank_setup_single_edge_exchange);
+    # the former shape paid four edge-sized exchanges for the same
+    # tables.  Scope: the reuse requires the checkpoint to carry its
+    # partitioning, which holds with AQE disabled (the bench / batch-job
+    # config — bench.py documents why) but NOT under AQE, where the
+    # checkpointed AdaptiveSparkPlan reports UnknownPartitioning and
+    # ENSURE_REQUIREMENTS re-exchanges (correct, just one extra shuffle).
+    # The src-hash skew of a hub node is no worse than the old explicit
+    # repartition("src") carried anyway.
+    e = edges.select("src", "dst").repartition("src").distinct().localCheckpoint()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # fold the out-degree into the edge table once (loop-invariant);
+    # partitioning rides the checkpoint, so each iteration exchanges
+    # only the NODE-sized rank/contribution tables
+    e2 = e.join(outd, "src").localCheckpoint()
+    # src-side distinct reuses the src partitioning (exchange-free);
+    # only the dst projection pays an edge-sized exchange, and the
+    # final union dedup is node-sized — vs the former union-then-
+    # distinct, which exchanged 2×|edges|
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.col("src").alias("node")).distinct()
+        .union(e.select(F.col("dst").alias("node")).distinct())
         .distinct()
         .localCheckpoint()
     )
-    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    # fold the out-degree into the edge table once (it is loop-
-    # invariant) and pre-partition by src: each iteration then
-    # exchanges only the NODE-sized rank table — the edge side's
-    # partitioning is reused from the checkpoint, so the big table is
-    # shuffled zero times per iteration instead of twice
-    e2 = e.join(outd, "src").repartition("src").localCheckpoint()
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     base = 15 * scale // 100
     for _ in range(iterations):

@@ -50,6 +50,49 @@ def test_pagerank_sink_gets_base_only_and_dup_edges_collapse(spark):
     assert got["b"] == BASE + (85 * (S // 1)) // 100
 
 
+def test_pagerank_setup_single_edge_exchange(spark):
+    """One repartition("src") funds the whole setup: the (src, dst)
+    distinct, the out-degree groupBy(src), the src join, and the
+    src-side node distinct all reuse the checkpointed partitioning —
+    zero further Exchange nodes.  Scope: AQE off (the bench / batch-job
+    config); under AQE the checkpoint degrades to UnknownPartitioning
+    and ENSURE_REQUIREMENTS re-exchanges, which is correct but not the
+    shape this pins.  Mirrors graph_algo.pagerank_quantized's setup."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in
+             ("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")}
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = _edges(spark, [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60)])
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        e_lazy = edges.select("src", "dst").repartition("src").distinct()
+        assert plan(e_lazy).count("Exchange") == 1, plan(e_lazy)
+        e = e_lazy.localCheckpoint()
+        outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        assert plan(outd).count("Exchange") == 0, plan(outd)
+        e2 = e.join(outd, "src")
+        assert plan(e2).count("Exchange") == 0, plan(e2)
+        nsrc = e.select(F.col("src").alias("node")).distinct()
+        assert plan(nsrc).count("Exchange") == 0, plan(nsrc)
+        # the per-iteration join is exchange-free on BOTH sides: the
+        # checkpointed e2 carries src-hash partitioning and the
+        # checkpointed rank table carries node-hash partitioning (the
+        # alias rides the partitioning), so each round shuffles only
+        # the contribution groupBy(dst)
+        e2c = e2.localCheckpoint()
+        ranks = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        it = e2c.join(ranks, e2c["src"] == ranks["node"])
+        p = plan(it)
+        assert p.count("Exchange") == 0, p
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_pagerank_is_partitioning_independent(spark):
     el = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60)]
     df = _edges(spark, el)
