@@ -76,7 +76,12 @@ from rdf_n3_spark.operators.similarity import (
 from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
-from rdf_n3_spark.operators.triples import entity_triples, mention_triples
+from rdf_n3_spark.operators.triples import (
+    canonical_triples,
+    entity_triples,
+    kb_diff,
+    mention_triples,
+)
 from rdf_n3_spark.sources.n3_sink import serialize_graphs
 from rdf_n3_spark.sources.n3_source import parse_documents
 from rdf_n3_spark.sources.transcripts import transcripts, transcripts_duckdb_cte
@@ -221,6 +226,24 @@ triples AS (
 
 # DuckDB mirror of operators/materialize.py bucket_expr
 _BUCKET = "(('0x' || substr(md5({col}), 1, 8))::BIGINT % 16)"
+
+
+def _triples_over(m: str) -> str:
+    """The mention-KB triple union (triples.mention_triples ∪
+    entity_triples) over an arbitrary mentions CTE ``m`` — used by
+    oracles that build the KB more than once (kb_diff snapshots)."""
+    sk = (f"SELECT *, 'sk:' || substr(sha256(conv_id || '|' "
+          f"|| CAST(turn_idx AS VARCHAR) || '|' "
+          f"|| CAST(pos AS VARCHAR)), 1, 16) AS sk FROM {m}")
+    return f"""
+  SELECT sk AS s, 'rdf:type' AS p, ':Mention' AS o FROM ({sk})
+  UNION ALL SELECT sk, ':surface', surface FROM ({sk})
+  UNION ALL SELECT sk, ':inConv', 'conv:' || conv_id FROM ({sk})
+  UNION ALL SELECT sk, ':atTurn', CAST(turn_idx AS VARCHAR) FROM ({sk})
+  UNION ALL SELECT sk, ':refersTo', 'ent:' || norm FROM ({sk})
+  UNION ALL SELECT 'ent:' || norm, ':mentionCount',
+                   CAST(count(*) AS VARCHAR) FROM {m} GROUP BY norm
+"""
 
 # DuckDB mirror of operators/canon.py (minhash-LSH + recursive-CTE CC)
 _CANON = (
@@ -592,6 +615,25 @@ def _q_lsh_pairs(spark, sf_dir):
 
 def _q_canon(spark, sf_dir):
     return canonical_map(extract_mentions(transcripts(spark, sf_dir)))
+
+
+def _q_canonical_triples(spark, sf_dir):
+    """The post-canonicalization KG: :refersTo rewritten to the
+    cluster-canonical entity, entity aggregates merged per cluster."""
+    return canonical_triples(extract_mentions(transcripts(spark, sf_dir)))
+
+
+def _q_kb_diff(spark, sf_dir):
+    """Snapshot delta between the KB built from turns ≤3 and the KB
+    built from turns ≥1 — the incremental-rebuild publish set."""
+    t = transcripts(spark, sf_dir)
+
+    def kb(m):
+        return mention_triples(m).unionByName(entity_triples(m))
+
+    old = kb(extract_mentions(t.where(F.col("turn_idx") <= 3)))
+    new = kb(extract_mentions(t.where(F.col("turn_idx") >= 1)))
+    return kb_diff(old, new)
 
 
 def _q_parse_n3_snippets(spark, sf_dir):
@@ -1055,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_contract": _q_list_contract,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "entity_canon": _q_canon,
+        "triples_canonical": _q_canonical_triples,
+        "kb_diff": _q_kb_diff,
         "entity_link_scores": _q_link_scores,
         "entity_link_best": _q_link_best,
         "n3_parse_udf": _q_parse_n3_snippets,
@@ -1476,6 +1520,46 @@ def oracle_sql() -> dict[str, str]:
             {_CANON}
             SELECT s.surface, coalesce(c.comp, s.surface) AS canon
             FROM surfaces s LEFT JOIN comp c ON c.node = s.surface
+        """,
+        "triples_canonical": f"""
+            {_CANON},
+            entmap AS (
+              SELECT lower(s.surface) AS norm,
+                     min(lower(coalesce(c.comp, s.surface))) AS cnorm
+              FROM surfaces s LEFT JOIN comp c ON c.node = s.surface
+              GROUP BY lower(s.surface)
+            ),
+            cmen AS (
+              SELECT m.conv_id, m.turn_idx, m.pos, m.surface,
+                     e.cnorm AS norm
+              FROM mentions m JOIN entmap e ON e.norm = m.norm
+            ),
+            csk AS (
+              SELECT *, 'sk:' || substr(sha256(conv_id || '|'
+                         || CAST(turn_idx AS VARCHAR) || '|'
+                         || CAST(pos AS VARCHAR)), 1, 16) AS sk
+              FROM cmen
+            )
+            SELECT sk AS s, 'rdf:type' AS p, ':Mention' AS o FROM csk
+            UNION ALL SELECT sk, ':surface', surface FROM csk
+            UNION ALL SELECT sk, ':inConv', 'conv:' || conv_id FROM csk
+            UNION ALL SELECT sk, ':atTurn', CAST(turn_idx AS VARCHAR) FROM csk
+            UNION ALL SELECT sk, ':refersTo', 'ent:' || norm FROM csk
+            UNION ALL SELECT 'ent:' || norm, ':mentionCount',
+                             CAST(count(*) AS VARCHAR)
+            FROM cmen GROUP BY norm
+        """,
+        "kb_diff": f"""
+            {_MENTIONS},
+            oldm AS (SELECT * FROM mentions WHERE turn_idx <= 3),
+            newm AS (SELECT * FROM mentions WHERE turn_idx >= 1),
+            oldt AS ({_triples_over('oldm')}),
+            newt AS ({_triples_over('newm')})
+            SELECT s, p, o, '+' AS change FROM
+              (SELECT s, p, o FROM newt EXCEPT SELECT s, p, o FROM oldt)
+            UNION ALL
+            SELECT s, p, o, '-' AS change FROM
+              (SELECT s, p, o FROM oldt EXCEPT SELECT s, p, o FROM newt)
         """,
         "media_metadata": """
             SELECT doc_id,

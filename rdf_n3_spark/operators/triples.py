@@ -93,3 +93,65 @@ def entity_triples(mentions: DataFrame) -> DataFrame:
             F.col("n").cast("string").alias("o"),
         )
     )
+
+
+def canonical_triples(mentions: DataFrame,
+                      pointer_jump: bool | str = "auto") -> DataFrame:
+    """The KG *after* canonicalization: mention triples with
+    ``:refersTo`` rewritten to the canonical entity, and entity
+    aggregates re-computed per canonical entity so surface-form
+    clusters merge into one ``:mentionCount`` row.
+
+    This is the glue between the canonicalization stage
+    (canon.canonical_map: surface → cluster-min surface) and triple
+    emission — the step a KG-construction pipeline actually serves
+    (rdf-n3 keeps one node per resolved resource; here resolution is
+    the LSH+CC cluster).  ``:surface`` keeps the raw form: provenance
+    survives the rewrite.
+
+    Scale shape: the canonical map is DISTINCT-SURFACE-sized (≪
+    mentions), collapsed to one row per ``norm`` and broadcast onto the
+    mention stream — the edge-sized side is never shuffled by the
+    rewrite; downstream emission keeps its existing shape (map-stage
+    explode + one map-side-combinable agg).  min() over the cluster's
+    lowered canons makes the norm-level map total and deterministic
+    even if case-variants of one norm ever landed in different
+    clusters.
+    """
+    from rdf_n3_spark.operators.canon import canonical_map
+
+    cmap = canonical_map(mentions, pointer_jump=pointer_jump)
+    ent_map = (
+        cmap.select(F.lower("surface").alias("norm"),
+                    F.lower("canon").alias("cn"))
+        .groupBy("norm")
+        .agg(F.min("cn").alias("cnorm"))
+    )
+    rewritten = mentions.join(F.broadcast(ent_map), "norm").select(
+        "conv_id", "turn_idx", "pos", "surface",
+        F.col("cnorm").alias("norm"),
+    )
+    return mention_triples(rewritten).unionByName(entity_triples(rewritten))
+
+
+def kb_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(s, p, o, change) — set-semantic delta between two KB snapshots:
+    ``'+'`` rows present only in ``new``, ``'-'`` rows present only in
+    ``old``.  The incremental-maintenance primitive: what a nightly KG
+    rebuild must publish so consumers avoid re-reading the full graph.
+
+    Mirrors the repository's set semantics (rdf-n3 repository.rb
+    insert/delete are idempotent on statements): each side is deduped
+    before comparison, so multiplicity never leaks into the delta.
+
+    Scale shape: two left_anti equi-joins on the full (s, p, o) key —
+    co-partitioned hash joins, AQE-skew eligible, no window and no
+    driver-side set; output is delta-sized, not snapshot-sized.
+    """
+    o = old.select("s", "p", "o").distinct()
+    n = new.select("s", "p", "o").distinct()
+    added = n.join(o, ["s", "p", "o"], "left_anti") \
+        .withColumn("change", F.lit("+"))
+    removed = o.join(n, ["s", "p", "o"], "left_anti") \
+        .withColumn("change", F.lit("-"))
+    return added.unionByName(removed)
