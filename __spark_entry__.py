@@ -72,6 +72,8 @@ from rdf_n3_spark.operators.similarity import (
     ann_topk_exact_oracle,
     ann_topk_partial,
     ivf_topk,
+    project_embeddings,
+    projection_weights,
 )
 from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
@@ -560,6 +562,25 @@ keys AS (
   SELECT vec_id, unnest([{_band_keys_sql()}]) AS band_key FROM qe
 )
 """
+
+
+# ±1 sign-projection components (mirror of similarity.project_embeddings):
+# the SAME md5-derived weights expanded as exact int64 sums, so every
+# projected component is engine-identical.
+def _proj_sql() -> str:
+    from rdf_n3_spark.operators.similarity import projection_weights
+
+    W = projection_weights()
+    comps = ", ".join(
+        " + ".join(f"e[{i + 1}]*{W[j][i]}" for i in range(64))
+        for j in range(len(W))
+    )
+    dims = ", ".join(str(j) for j in range(len(W)))
+    return f"""
+    SELECT vec_id, CAST(unnest([{dims}]) AS INT) AS dim,
+           CAST(unnest([{comps}]) AS BIGINT) AS value
+    FROM qe
+    """
 
 # exact brute-force top-k — shared by ann_topk / ann_topk_partial (the
 # default per-partition pre-aggregated plan) and ann_topk_exact_oracle
@@ -1119,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_partial": lambda s, d: ann_topk_partial(_embs(s, d)),
         "ann_ivf": lambda s, d: ivf_topk(_embs(s, d)),
         "ann_ivf_multiprobe": lambda s, d: ivf_topk(_embs(s, d), hamming=1),
+        "embed_project": lambda s, d: project_embeddings(_embs(s, d)),
         "text_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_quality": lambda s, d: quality_score(_docs(s, d)),
         "lang_id": lambda s, d: lang_id(_docs(s, d)),
@@ -1724,6 +1746,10 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         "ann_topk_partial": _ANN_TOPK_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_exact_oracle": _ANN_TOPK_SQL,
+        "embed_project": f"""
+            {_QEMB}
+            {_proj_sql()}
+        """,
         "ann_ivf": f"""
             {_QEMB},
             scored AS (

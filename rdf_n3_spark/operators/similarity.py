@@ -191,3 +191,65 @@ def ann_topk_partial(embeddings: DataFrame, k: int = 10,
 #: default export — exact results, scale-safe shuffle. The window-only
 #: brute-force twin stays available as :func:`ann_topk_exact_oracle`.
 ann_topk = ann_topk_partial
+
+
+def projection_weights(out_dims: int = 8, dims: int = 64) -> list:
+    """Deterministic ±1 sign-projection matrix, md5-derived (seed
+    prefix ``p``) like dedup.hyperplane_weights — the DuckDB oracle
+    embeds the identical literals, so projections are engine-portable
+    with zero float ambiguity."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"p|{j}|{i}".encode()).hexdigest()[0], 16) >= 8
+            else -1
+            for i in range(dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def project_embeddings(embeddings: DataFrame, out_dims: int = 8,
+                       dims: int = 64) -> DataFrame:
+    """(vec_id, dim, value) — Achlioptas-style ±1 sign random projection
+    of the quantized embedding to ``out_dims`` exact int64 components,
+    one row per output dimension.
+
+    The dimensionality-reduction step in front of ANN / clustering at
+    100 TB: a 64-dim float vector becomes out_dims int64s with
+    JL-bounded distance distortion, shrinking every downstream shuffle
+    and comparison by dims/out_dims.  Pure map stage — per-row Column
+    arithmetic (±1 · component sums), no shuffle, no UDF, no join; the
+    whole operator rides whatever partitioning the source has.
+    Exactness: quantized int64 components × ±1 weights — sums are
+    associative, so any engine/partitioning computes identical values
+    (the same argument as dedup.lsh_band_keys; a short/poisoned vector
+    zips against trailing null weights → null projection values that
+    downstream filters drop instead of killing the job).
+
+    Each component is ``aggregate(zip_with(e, W_j, x*y))`` over a
+    64-literal weight array rather than 64 inlined ``element_at`` terms:
+    the inlined form made the Generate node's codegen method exceed the
+    JVM's 64 KB limit, silently dropping the whole stage out of
+    whole-stage codegen — HOF expressions keep the generated method
+    small so the stage still compiles."""
+    W = projection_weights(out_dims, dims)
+    qe = embeddings.select("vec_id", quantize(F.col("embedding")).alias("e"))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.slice("e", 1, dims),
+                F.array(*[F.lit(w) for w in W[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(out_dims)
+    ]
+    return qe.select(
+        "vec_id",
+        F.posexplode(F.array(*[c.cast("bigint") for c in comps]))
+        .alias("dim", "value"),
+    )

@@ -103,3 +103,16 @@ def test_curate_corpus_has_no_cross_join(spark):
     plan = _plan(curate_corpus(docs, bench))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embed_projection_is_pure_map(spark):
+    """project_embeddings is a single map stage: no shuffle, no join,
+    no Python eval — it must ride the source partitioning untouched."""
+    from rdf_n3_spark.operators.similarity import project_embeddings
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(project_embeddings(emb))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan, node
