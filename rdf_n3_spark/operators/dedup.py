@@ -366,19 +366,27 @@ def lsh_band_keys(qcol, bands: int = BANDS_E, bits: int = BITS_E,
     """Quantized embedding → array of band keys ``"<b>|<sign bits>"``.
     Each sign is the sign of an exact int64 dot product with a ±1
     hyperplane (quantized components × ±1 — order-independent, so any
-    engine computes the identical bucket)."""
-    from functools import reduce as _reduce
-    from operator import add as _add
+    engine computes the identical bucket).
 
+    Each dot is ``aggregate(zip_with(...))`` over a literal weight
+    array, not dims inlined ``element_at`` terms: the inlined form
+    (bands×bits×dims = 2048 arithmetic nodes) pushed the generated
+    method past the JVM 64 KB limit, silently dropping the whole stage
+    out of codegen.  A short vector zips against trailing null weights
+    → null dot → '0' bit (deterministic bucket, no ANSI index error —
+    the same failure mode the old try_element_at form had)."""
     W = hyperplane_weights(bands, bits, dims)
+    e = F.slice(qcol, 1, dims)
     keys = []
     for b in range(bands):
         chars = []
         for j in range(bits):
-            # try_element_at: a short vector yields null terms → null
-            # dot → '0' bit (deterministic bucket, no ANSI index error)
-            dot = _reduce(_add, [F.try_element_at(qcol, F.lit(i + 1)) * W[b][j][i]
-                                 for i in range(dims)])
+            dot = F.aggregate(
+                F.zip_with(e, F.array(*[F.lit(w) for w in W[b][j]]),
+                           lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
             chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         keys.append(F.concat(F.lit(f"{b}|"), *chars))
     return F.array(*keys)
