@@ -41,6 +41,10 @@ from rdf_n3_spark.operators.curation import (
     decontaminate,
     pack_sequences,
 )
+from rdf_n3_spark.operators.substrings import (
+    dup_spans,
+    substring_dup_stats,
+)
 from rdf_n3_spark.operators.events import (
     event_quantiles,
     event_rollup,
@@ -1175,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
             _docs(s, d), n=3, min_docs=5),
+        "substring_spans": lambda s, d: dup_spans(_docs(s, d), k=8),
+        "substring_dedup": lambda s, d: substring_dup_stats(
+            _docs(s, d), k=8, max_dup_pct=50),
     }
 
 
@@ -2019,6 +2026,83 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boiler_share
             FROM grams g LEFT JOIN boiler b USING (gram)
             GROUP BY g.doc_id
+        """,
+        # mirrors substrings.dup_spans (k=8 token windows): duplicated
+        # k-grams → per-doc gaps-and-islands interval merge
+        "substring_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gram_hash
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+              WHERE len(t) >= 8
+            ), dup AS (
+              SELECT gram_hash FROM g GROUP BY 1 HAVING count(*) > 1
+            ), hits AS (
+              SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+              FROM g JOIN dup USING (gram_hash)
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                          THEN 1 ELSE 0 END AS ni
+              FROM hits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, s, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM isl
+            )
+            SELECT doc_id,
+                   CAST(min(s) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end,
+                   CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        # mirrors substrings.substring_dup_stats (k=8, max_dup_pct=50):
+        # span coverage per doc, integer keep test
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gram_hash
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+              WHERE len(t) >= 8
+            ), dup AS (
+              SELECT gram_hash FROM g GROUP BY 1 HAVING count(*) > 1
+            ), hits AS (
+              SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+              FROM g JOIN dup USING (gram_hash)
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                          THEN 1 ELSE 0 END AS ni
+              FROM hits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, s, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, max(e) - min(s) + 1 AS span_len
+              FROM isl2 GROUP BY doc_id, island
+            ), per_doc AS (
+              SELECT doc_id, sum(span_len) AS dup_tokens FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS total_tokens,
+                   CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN coalesce(p.dup_tokens, 0) * 100
+                                  <= 50 * len(string_split(lower(d.text), ' '))
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         # mirrors curation.pack_sequences (capacity 256, 8 shards):
         # the greedy per-shard scan as a recursive CTE over rn
