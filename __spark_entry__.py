@@ -45,6 +45,11 @@ from rdf_n3_spark.operators.substrings import (
     dup_spans,
     substring_dup_stats,
 )
+from rdf_n3_spark.operators.clustering import (
+    cluster_sample,
+    embed_kmeans,
+    semdedup_prune,
+)
 from rdf_n3_spark.operators.events import (
     event_quantiles,
     event_rollup,
@@ -585,6 +590,55 @@ def _proj_sql() -> str:
            CAST(unnest([{comps}]) AS BIGINT) AS value
     FROM qe
     """
+
+# Deterministic fixed-iteration Lloyd's k-means (mirror of
+# clustering.embed_kmeans): init = k lowest vec_ids, each iteration
+# unrolled as assign (min over (dist, cluster)) + update (per-dim
+# floor(sum/count)); ends with CTE ``af`` = the final assignment.
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+    parts = [f"""
+qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, e AS c
+  FROM (SELECT vec_id, e FROM qe ORDER BY vec_id LIMIT {k})
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+a{it} AS (
+  SELECT q.vec_id, c.cluster
+  FROM qe q CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_sum(list_transform(generate_series(1, len(q.e)),
+                      i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))), c.cluster
+  ) = 1
+),
+u{it} AS (
+  SELECT a.cluster, dim,
+         CAST(floor(CAST(sum(q.e[dim]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+  FROM a{it} a JOIN qe q USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, len(q.e))) AS dim)
+  GROUP BY a.cluster, dim
+),
+c{it} AS (SELECT cluster, list(comp ORDER BY dim) AS c FROM u{it} GROUP BY cluster)""")
+        prev = f"c{it}"
+    parts.append(f"""
+af AS (
+  SELECT q.vec_id, c.cluster
+  FROM qe q CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_sum(list_transform(generate_series(1, len(q.e)),
+                      i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))), c.cluster
+  ) = 1
+)""")
+    return "WITH " + ",".join(parts)
+
 
 # exact brute-force top-k — shared by ann_topk / ann_topk_partial (the
 # default per-partition pre-aggregated plan) and ann_topk_exact_oracle
@@ -1182,6 +1236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": lambda s, d: dup_spans(_docs(s, d), k=8),
         "substring_dedup": lambda s, d: substring_dup_stats(
             _docs(s, d), k=8, max_dup_pct=50),
+        "embed_kmeans": lambda s, d: embed_kmeans(_embs(s, d)),
+        "semdedup_prune": lambda s, d: semdedup_prune(
+            _embs(s, d), threshold=0.35),
+        "cluster_sample": lambda s, d: cluster_sample(
+            _embs(s, d), per_cluster=60),
     }
 
 
@@ -1756,6 +1815,38 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         "embed_project": f"""
             {_QEMB}
             {_proj_sql()}
+        """,
+        # mirrors clustering.embed_kmeans (k=8, iters=2): unrolled
+        # fixed-iteration Lloyd's in exact int64 arithmetic
+        "embed_kmeans": f"""
+            {_kmeans_ctes()}
+            SELECT vec_id, CAST(cluster AS INT) AS cluster FROM af
+        """,
+        # mirrors clustering.semdedup_prune (threshold 0.35): within-
+        # cluster pairwise cosine, lower-id vector wins
+        "semdedup_prune": f"""
+            {_kmeans_ctes()},
+            pairs AS (
+              SELECT r.vec_id AS b
+              FROM af l JOIN af r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+              JOIN qe q ON q.vec_id = l.vec_id
+              JOIN qe t ON t.vec_id = r.vec_id
+              WHERE {_COS_EXPR} >= 0.35
+            ),
+            dup AS (SELECT DISTINCT b AS vec_id FROM pairs)
+            SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+                   CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+            FROM af a LEFT JOIN dup d USING (vec_id)
+        """,
+        # mirrors clustering.cluster_sample (per_cluster=60, seeded
+        # md5 rank within cluster)
+        "cluster_sample": f"""
+            {_kmeans_ctes()}
+            SELECT vec_id, CAST(cluster AS INT) AS cluster FROM af
+            QUALIFY row_number() OVER (
+              PARTITION BY cluster
+              ORDER BY md5('csample-v1|' || CAST(vec_id AS VARCHAR)), vec_id
+            ) <= 60
         """,
         "ann_ivf": f"""
             {_QEMB},
