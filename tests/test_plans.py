@@ -116,3 +116,36 @@ def test_embed_projection_is_pure_map(spark):
     assert "Join" not in plan
     for node in PY_EVAL_NODES:
         assert node not in plan, node
+
+
+def test_dup_spans_duplicate_test_is_partial_agg_join(spark):
+    """substrings.dup_spans must test gram duplication with a map-side
+    combinable groupBy + equi-join, NEVER a count() window partitioned
+    by gram_hash (a window cannot partial-aggregate, so a mega-hot
+    boilerplate gram would ship every occurrence to one reducer)."""
+    from rdf_n3_spark.operators.substrings import dup_spans
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(dup_spans(docs))
+    assert "windowspecdefinition(gram_hash" not in plan.lower()
+    assert "partial" in plan  # the duplicate-count agg combines map-side
+    assert "CartesianProduct" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan, node
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """clustering.embed_kmeans: every assignment joins the corpus
+    against the k-row centroid table via BROADCAST nested-loop (small
+    side is k rows by construction) — the corpus itself must never
+    shuffle for a join (no SortMergeJoin/ShuffledHashJoin)."""
+    from rdf_n3_spark.operators.clustering import embed_kmeans
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(embed_kmeans(emb))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # iters+1 assigns
+    for node in PY_EVAL_NODES:
+        assert node not in plan, node
