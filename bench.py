@@ -85,7 +85,11 @@ def timed_runs(q, runs: int, stat: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    # 5 timed runs per query: this host shows one-sided multi-second
+    # interference spikes; a median of 5 tolerates two bad runs where a
+    # median of 3 tolerates one (protocol unchanged — still the median
+    # of full recomputes after one warm run)
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     mult = int(os.environ.get("SPARK_GRAFT_MULT", "10"))
     stat = os.environ.get("BENCH_STAT", "median")
 
