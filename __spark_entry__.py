@@ -62,11 +62,13 @@ from rdf_n3_spark.operators.dedup import (
     embedding_neardup_clusters,
     embedding_neardup_pairs,
     exact_dedup,
+    incremental_neardup,
     jaccard_neardup_pairs,
     minhash_neardup_pairs,
     neardup_clusters,
     simhash_buckets,
     simhash_hamming_pairs,
+    source_dup_matrix,
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
 from rdf_n3_spark.operators.sketch import kmv_distinct_tokens
@@ -1236,6 +1238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": lambda s, d: dup_spans(_docs(s, d), k=8),
         "substring_dedup": lambda s, d: substring_dup_stats(
             _docs(s, d), k=8, max_dup_pct=50),
+        "dedup_source_matrix": lambda s, d: source_dup_matrix(_docs(s, d)),
+        "dedup_incremental": lambda s, d: incremental_neardup(
+            _docs(s, d).where(F.col("doc_id") % 10 == 7),
+            _docs(s, d).where(F.col("doc_id") % 10 != 7)),
         "embed_kmeans": lambda s, d: embed_kmeans(_embs(s, d)),
         "semdedup_prune": lambda s, d: semdedup_prune(
             _embs(s, d), threshold=0.35),
@@ -1715,6 +1721,75 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         "dedup_minhash": f"""
             {_DOC_SHINGLES}
             SELECT a, b FROM ver
+        """,
+        # mirrors dedup.source_dup_matrix: the shared verified pair set
+        # labeled with sources, unordered-pair grouped
+        "dedup_source_matrix": f"""
+            {_DOC_SHINGLES},
+            lab AS (
+              SELECT da.source AS sa, db.source AS sb
+              FROM ver JOIN documents da ON da.doc_id = ver.a
+                       JOIN documents db ON db.doc_id = ver.b
+            )
+            SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2
+        """,
+        # mirrors dedup.incremental_neardup (batch = doc_id % 10 = 7,
+        # corpus = the rest): batch-scoped _DOC_SHINGLES chain for the
+        # intra-batch pairs; corpus band-key index (min doc_id per key)
+        # + representative verify for the corpus check
+        "dedup_incremental": f"""
+            {_DOC_SHINGLES.replace(
+                "FROM documents)",
+                "FROM documents WHERE doc_id % 10 = 7)")},
+            cshs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE doc_id % 10 <> 7)
+            ),
+            cshing AS (SELECT doc_id, unnest(sh) AS s1 FROM cshs),
+            csig AS (
+              SELECT doc_id,
+                     min(md5('0|' || s1)) AS h0, min(md5('1|' || s1)) AS h1,
+                     min(md5('2|' || s1)) AS h2, min(md5('3|' || s1)) AS h3,
+                     min(md5('4|' || s1)) AS h4, min(md5('5|' || s1)) AS h5,
+                     min(md5('6|' || s1)) AS h6, min(md5('7|' || s1)) AS h7
+              FROM cshing GROUP BY doc_id
+            ),
+            ckeyed AS (
+              SELECT doc_id, unnest([
+                '0|' || h0 || '|' || h1, '1|' || h2 || '|' || h3,
+                '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS band_key
+              FROM csig
+            ),
+            cindex AS (
+              SELECT band_key, min(doc_id) AS rep FROM ckeyed GROUP BY band_key
+            ),
+            ccand AS (
+              SELECT DISTINCT k.doc_id, i.rep
+              FROM keyed k JOIN cindex i USING (band_key)
+            ),
+            cver AS (
+              SELECT c.doc_id, c.rep FROM ccand c
+              JOIN shs sa ON sa.doc_id = c.doc_id
+              JOIN cshs sb ON sb.doc_id = c.rep
+              WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+            ),
+            corp AS (SELECT doc_id, min(rep) AS dup_of_corpus
+                     FROM cver GROUP BY doc_id),
+            bdup AS (SELECT b AS doc_id, min(a) AS dup_of_batch
+                     FROM ver GROUP BY b)
+            SELECT d.doc_id, corp.dup_of_corpus, bdup.dup_of_batch,
+                   CAST(CASE WHEN corp.dup_of_corpus IS NULL
+                              AND bdup.dup_of_batch IS NULL
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+            LEFT JOIN corp USING (doc_id) LEFT JOIN bdup USING (doc_id)
         """,
         # same verified pair set as dedup_minhash, closed transitively:
         # component min via recursive reachability (sym edges), then

@@ -78,6 +78,21 @@ def doc_shingles(documents: DataFrame) -> DataFrame:
     return toks.select(F.col("doc_id"), shingles_of_tokens(F.col("toks")).alias("sh"))
 
 
+def band_keyed(sig: DataFrame, n_hashes: int = N_HASHES,
+               bands: int = BANDS) -> DataFrame:
+    """(doc_id, band_key) — one row per LSH band: ``"<b>|<h..>|<h..>"``
+    over the minhash signature columns ``h0..h{n-1}``."""
+    rpb = n_hashes // bands
+    band_arr = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col(f"h{b * rpb + r}") for r in range(rpb)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_arr).alias("band_key"))
+
+
 def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
                           n_hashes: int = N_HASHES, bands: int = BANDS,
                           max_bucket: int = MAX_BUCKET) -> DataFrame:
@@ -95,15 +110,7 @@ def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     # has the measurement; ~30% off end-to-end at sandbox scale)
     shs = doc_shingles(documents).localCheckpoint(eager=False)
     sig = shs.select("doc_id", *minhash_cols(n_hashes))
-    rpb = n_hashes // bands
-    band_arr = F.array(
-        *[
-            F.concat_ws("|", F.lit(str(b)),
-                        *[F.col(f"h{b * rpb + r}") for r in range(rpb)])
-            for b in range(bands)
-        ]
-    )
-    keyed = sig.select("doc_id", F.explode(band_arr).alias("band_key"))
+    keyed = band_keyed(sig, n_hashes, bands)
     hot = (
         keyed.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("bucket_min"))
@@ -132,6 +139,109 @@ def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
         )
     )
     return j.where(F.col("jaccard") >= threshold).select("a", "b")
+
+
+_JACCARD = (
+    lambda: F.size(F.array_intersect("sha", "shb"))
+    / F.size(F.array_union("sha", "shb"))
+)
+
+
+def source_dup_matrix(documents: DataFrame, threshold: float = 0.8,
+                      n_hashes: int = N_HASHES, bands: int = BANDS,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(source_a, source_b, n_pairs) — the cross-source contamination
+    report: how many verified near-duplicate pairs connect each
+    (unordered) pair of sources.  The question every corpus audit asks
+    first — which feeds are re-crawls of which — answered from the
+    pair set that dedup already computes: one tiny extra join against
+    the doc→source map and a groupBy over #sources² rows at most."""
+    pairs = minhash_neardup_pairs(documents, threshold, n_hashes, bands,
+                                  max_bucket)
+    src = documents.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("source", "sa"), "a")
+        .join(src.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("source", "sb"), "b")
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def lsh_band_index(corpus: DataFrame, n_hashes: int = N_HASHES,
+                   bands: int = BANDS) -> DataFrame:
+    """(band_key, rep) — the persisted ingest-gate index: per LSH band
+    key, the MIN corpus doc_id as the bucket's representative.  ONE
+    row per distinct band key by construction, so (a) the index size
+    is bounded by key cardinality, not corpus size, and (b) a new
+    batch probing it can never hit a skewed join key — the properties
+    that make incremental dedup at 100 TB an index lookup instead of a
+    corpus re-scan."""
+    shs = doc_shingles(corpus)
+    sig = shs.select("doc_id", *minhash_cols(n_hashes))
+    return (
+        band_keyed(sig, n_hashes, bands)
+        .groupBy("band_key")
+        .agg(F.min("doc_id").alias("rep"))
+    )
+
+
+def incremental_neardup(new_docs: DataFrame, corpus: DataFrame,
+                        threshold: float = 0.8, n_hashes: int = N_HASHES,
+                        bands: int = BANDS,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_id, dup_of_corpus, dup_of_batch, keep) — the incremental
+    ingest gate: each NEW document is checked against the existing
+    corpus via :func:`lsh_band_index` (band-key probe + exact-Jaccard
+    verify against the bucket representative) and against earlier
+    documents of its own batch (:func:`minhash_neardup_pairs` with the
+    full hot-bucket machinery).  ``keep`` = 1 iff neither check fires.
+
+    Production shape: the index and the corpus shingle sets are
+    *persisted* tables maintained by previous ingests (here recomputed
+    from ``corpus`` — the plan downstream of them is identical); each
+    batch touches index-sized and batch-sized data only, NEVER the
+    corpus text.  Verifying against the bucket *representative* (not
+    every member) is the same bounded-skew trade as the hot-bucket
+    star-collapse: recall dips only when a bucket mixes families, and
+    a true template family shares every band with its representative."""
+    shs_new = doc_shingles(new_docs).localCheckpoint(eager=False)
+    sig_new = shs_new.select("doc_id", *minhash_cols(n_hashes))
+    cand = (
+        band_keyed(sig_new, n_hashes, bands)
+        .join(lsh_band_index(corpus, n_hashes, bands), "band_key")
+        .select("doc_id", "rep")
+        .distinct()
+    )
+    cshs = doc_shingles(corpus)
+    ver = (
+        cand.join(shs_new.withColumnRenamed("sh", "sha"), "doc_id")
+        .join(cshs.select(F.col("doc_id").alias("rep"),
+                          F.col("sh").alias("shb")), "rep")
+        .where(_JACCARD() >= threshold)
+    )
+    corp = ver.groupBy("doc_id").agg(F.min("rep").alias("dup_of_corpus"))
+    batchdup = (
+        minhash_neardup_pairs(new_docs, threshold, n_hashes, bands, max_bucket)
+        .groupBy(F.col("b").alias("doc_id"))
+        .agg(F.min("a").alias("dup_of_batch"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(corp, "doc_id", "left")
+        .join(batchdup, "doc_id", "left")
+        .select(
+            "doc_id", "dup_of_corpus", "dup_of_batch",
+            (F.col("dup_of_corpus").isNull()
+             & F.col("dup_of_batch").isNull()).cast("int").alias("keep"),
+        )
+    )
 
 
 def jaccard_neardup_pairs(documents: DataFrame,

@@ -1,0 +1,72 @@
+"""Incremental ingest-gate dedup + cross-source dup matrix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from rdf_n3_spark.operators.dedup import (
+    incremental_neardup,
+    lsh_band_index,
+    source_dup_matrix,
+)
+from tests.conftest import SF_SMOKE
+from tests.parity import assert_match, duck_run
+
+
+def _tbl(spark, rows, cols=("doc_id", "text")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+TEMPLATE = " ".join(f"w{i}" for i in range(30))
+
+
+def test_corpus_dup_flagged_batch_unique_kept(spark):
+    corpus = _tbl(spark, [(1, TEMPLATE), (2, "totally different words " * 8)])
+    batch = _tbl(spark, [(100, TEMPLATE + " x"),          # near-dup of corpus 1
+                         (101, " ".join(f"z{i}" for i in range(40)))])  # unique
+    out = {r["doc_id"]: r for r in incremental_neardup(batch, corpus).collect()}
+    assert out[100]["dup_of_corpus"] == 1 and out[100]["keep"] == 0
+    assert out[101]["dup_of_corpus"] is None and out[101]["keep"] == 1
+
+
+def test_batch_internal_dup_points_to_lower_id(spark):
+    corpus = _tbl(spark, [(1, "unrelated corpus text " * 10)])
+    fresh = " ".join(f"y{i}" for i in range(30))
+    batch = _tbl(spark, [(200, fresh), (201, fresh + " tail")])
+    out = {r["doc_id"]: r for r in incremental_neardup(batch, corpus).collect()}
+    assert out[200]["keep"] == 1  # first copy into the corpus survives
+    assert out[201]["dup_of_batch"] == 200 and out[201]["keep"] == 0
+
+
+def test_index_is_one_row_per_band_key(spark):
+    corpus = _tbl(spark, [(i, TEMPLATE) for i in range(40)])  # 40 copies
+    idx = lsh_band_index(corpus)
+    assert idx.count() == idx.select("band_key").distinct().count()
+    # every bucket's representative is the min member
+    assert all(r["rep"] == 0 for r in idx.collect())
+
+
+def test_source_matrix_counts_unordered_pairs(spark):
+    rows = [(1, TEMPLATE, "crawlA"), (2, TEMPLATE + " x", "crawlB"),
+            (3, TEMPLATE + " y", "crawlB"),
+            (4, "other content entirely " * 9, "crawlA")]
+    docs = _tbl(spark, rows, cols=("doc_id", "text", "source"))
+    m = {(r["source_a"], r["source_b"]): r["n_pairs"]
+         for r in source_dup_matrix(docs).collect()}
+    assert m[("crawlA", "crawlB")] == 2  # 1-2, 1-3 (cross, unordered)
+    assert m[("crawlB", "crawlB")] == 1  # 2-3
+
+
+def test_oracle_parity_smoke_sf(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    oracles = entry_mod.oracle_sql()
+    assert_match(source_dup_matrix(docs),
+                 duck_run(oracles["dedup_source_matrix"], SF_SMOKE),
+                 "dedup_source_matrix")
+    assert_match(
+        incremental_neardup(docs.where(F.col("doc_id") % 10 == 7),
+                            docs.where(F.col("doc_id") % 10 != 7)),
+        duck_run(oracles["dedup_incremental"], SF_SMOKE),
+        "dedup_incremental",
+    )
