@@ -32,3 +32,43 @@ def stream_exact_dedup(stream: DataFrame, ts_col: str = "ts",
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def stream_neardup_gate(stream: DataFrame, corpus: DataFrame,
+                        out_dir: str, checkpoint_dir: str,
+                        threshold: float = 0.8):
+    """Continuous near-dup ingest gate: every micro-batch of incoming
+    documents is checked against the PERSISTED corpus LSH index
+    (:func:`rdf_n3_spark.operators.dedup.incremental_neardup` — band
+    probe + representative verify + intra-batch pairs) and only
+    ``keep=1`` rows are appended to ``out_dir``.
+
+    ``foreachBatch`` is the right harness here (not a stream-static
+    join chain): the gate's verdict needs an intra-batch self-join and
+    two left joins, which Structured Streaming cannot express as one
+    incremental plan, while per-batch the BATCH operator — already
+    oracle-gated — runs unchanged.  Exactly-once follows the
+    :mod:`.ingest` discipline: the epoch id rides along as a lineage
+    column, and restarts replay an epoch idempotently (same batch ⇒
+    same verdict ⇒ overwrite-identical rows).
+
+    Scale: per micro-batch work is index-sized + batch-sized (the
+    whole point of the one-row-per-band-key index); the corpus tables
+    are static snapshots refreshed between runs, exactly how a
+    production gate consumes yesterday's index."""
+    from rdf_n3_spark.operators.dedup import incremental_neardup
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        verdict = incremental_neardup(batch_df, corpus, threshold)
+        (
+            batch_df.join(verdict.where(F.col("keep") == 1).select("doc_id"),
+                          "doc_id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append").parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -64,3 +64,33 @@ def test_stream_dedup_matches_batch_survivor_set(spark, tmp_path):
         spark.read.parquet(src).withColumn("doc_id", F.monotonically_increasing_id())
     )
     assert streamed == {r.text_hash for r in batch.collect()}
+
+
+def test_stream_neardup_gate_matches_batch_verdict(spark, tmp_path):
+    """The streamed keep-set equals the batch incremental_neardup
+    verdict on the same batch (the gate IS the batch operator run per
+    epoch), and corpus near-dups never reach the sink."""
+    from rdf_n3_spark.operators.dedup import incremental_neardup
+    from rdf_n3_spark.streaming.dedup import stream_neardup_gate
+
+    template = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, template), (2, "unrelated corpus content " * 8)],
+        ["doc_id", "text"])
+    batch_rows = [(100, template + " x"),            # corpus near-dup
+                  (101, " ".join(f"z{i}" for i in range(40))),  # unique
+                  (102, " ".join(f"z{i}" for i in range(40)) + " t")]  # dup of 101
+    src = str(tmp_path / "in")
+    spark.createDataFrame(batch_rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_neardup_gate(stream, corpus, out, str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    batch_verdict = {
+        r["doc_id"] for r in incremental_neardup(
+            spark.read.parquet(src), corpus).collect() if r["keep"] == 1
+    }
+    assert kept == batch_verdict == {101}
