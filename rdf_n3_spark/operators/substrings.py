@@ -46,15 +46,18 @@ def kgram_positions(documents: DataFrame, k: int = K_TOKENS) -> DataFrame:
     window, 1-based start position.  Documents shorter than ``k``
     tokens emit nothing (no window of the required length exists).
 
-    The token array is bound behind a ``repartition`` barrier before
-    the slicing lambda references it — without the barrier Catalyst's
-    CollapseProject re-inlines the ``split`` into the HOF lambda and
-    re-tokenizes the document once per window (the quadratic re-eval
-    documented at :func:`~rdf_n3_spark.operators.dedup.doc_shingles`)."""
+    The projection references the bound token array TWICE (the window
+    count via ``size`` and the lambda's ``slice``), which blocks
+    CollapseProject from re-inlining the ``split`` into the HOF lambda
+    (single-use aliases DO get inlined and re-tokenize per window —
+    see :func:`~rdf_n3_spark.operators.dedup.doc_shingles`).  That
+    makes a repartition barrier unnecessary here: no shuffle, at the
+    cost of the pushed-down length filter re-running ``split`` once
+    per row (O(len), vs a full corpus shuffle) — pinned by
+    tests/test_plans.py::test_dup_spans_duplicate_test_is_partial_agg_join."""
     toks = (
         documents.select(F.col("doc_id"), F.split(F.lower("text"), " ").alias("t"))
         .where(F.size("t") >= k)
-        .repartition("doc_id")
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("t") - (k - 1)),

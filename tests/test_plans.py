@@ -130,6 +130,10 @@ def test_dup_spans_duplicate_test_is_partial_agg_join(spark):
     assert "windowspecdefinition(gram_hash" not in plan.lower()
     assert "partial" in plan  # the duplicate-count agg combines map-side
     assert "CartesianProduct" not in plan
+    # the k-gram lambda slices the BOUND token array (double reference
+    # blocks CollapseProject) — no per-window re-tokenization, and no
+    # repartition barrier needed to prevent it
+    assert "slice(split" not in plan
     for node in PY_EVAL_NODES:
         assert node not in plan, node
 
