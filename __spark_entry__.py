@@ -19,6 +19,7 @@ from rdf_n3_spark.functions.text import (
     fingerprint,
     keyword_topk,
     lang_id,
+    lm_score,
     search_topk,
     quality_score,
     redact,
@@ -853,6 +854,19 @@ def _q_comention(spark, sf_dir):
     return cooccurrence_edges(m, group="conv_id", node="norm")
 
 
+def _q_kcore(spark, sf_dir):
+    """Fixed-round k-core peel (k=3, 3 rounds) over the co-mention
+    graph — the dense-subgraph filter for entity-graph curation."""
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        kcore_fixed,
+    )
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return kcore_fixed(
+        cooccurrence_edges(m, group="conv_id", node="norm"), k=3, rounds=3)
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle participation over the co-mention graph,
     degree-ordered orientation (each triangle enumerated once)."""
@@ -1223,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
         "graph_pagerank": _q_pagerank,
         "comention_edges": _q_comention,
+        "graph_kcore": _q_kcore,
+        "lm_score": lambda s, d: lm_score(_docs(s, d)),
         "triangle_counts": _q_triangles,
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
@@ -1957,6 +1973,31 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    CASE WHEN stopword_ratio > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
             FROM stats
         """,
+        # mirrors functions.text.lm_score: corpus bigram LM, mean
+        # ln(c(bigram)/c(prefix)) per doc, 6-decimal round
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), big AS (
+              SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 2
+            ),
+            bgc AS (SELECT bg, count(*) AS c_bg FROM big GROUP BY bg),
+            w1c AS (SELECT w1, count(*) AS c_w1 FROM big GROUP BY w1),
+            tot AS (SELECT count(*) AS n_total FROM big),
+            sc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(avg(ln(CAST(c_bg AS DOUBLE) / c_w1)), 6) AS avg_logprob,
+                     round(avg(ln(CAST(c_bg AS DOUBLE) / n_total)), 6) AS avg_logfreq
+              FROM big JOIN bgc USING (bg) JOIN w1c USING (w1) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   sc.avg_logprob, sc.avg_logfreq
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
         # mirrors functions.text.redact: identical patterns (Java ∩ RE2
         # subset), identical URL → EMAIL → PHONE stage order, each count
         # taken on the PRIOR stage's output
@@ -2064,6 +2105,31 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS weight
             FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
             GROUP BY a.n, b.n
+        """,
+        # mirrors graph_algo.kcore_fixed (k=3, rounds=3): unrolled
+        # peel — survivors = nodes of degree >= 3 three rounds running
+        "graph_kcore": f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            eg AS (SELECT a.n AS u, b.n AS v
+                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                   GROUP BY a.n, b.n),
+            sym0 AS (SELECT u, v FROM eg UNION SELECT v AS u, u AS v FROM eg),
+            alln AS (SELECT DISTINCT u AS node FROM sym0),
+            k1 AS (SELECT u FROM sym0 GROUP BY u HAVING count(*) >= 3),
+            sym1 AS (SELECT s.u, s.v FROM sym0 s
+                     JOIN k1 a ON s.u = a.u JOIN k1 b ON s.v = b.u),
+            k2 AS (SELECT u FROM sym1 GROUP BY u HAVING count(*) >= 3),
+            sym2 AS (SELECT s.u, s.v FROM sym1 s
+                     JOIN k2 a ON s.u = a.u JOIN k2 b ON s.v = b.u),
+            k3 AS (SELECT u FROM sym2 GROUP BY u HAVING count(*) >= 3),
+            sym3 AS (SELECT s.u, s.v FROM sym2 s
+                     JOIN k3 a ON s.u = a.u JOIN k3 b ON s.v = b.u),
+            surv AS (SELECT DISTINCT u FROM sym3)
+            SELECT alln.node,
+                   CAST(CASE WHEN surv.u IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                     AS in_core
+            FROM alln LEFT JOIN surv ON alln.node = surv.u
         """,
         # mirrors graph_algo.triangle_counts: degree-ordered
         # orientation → wedge join → closure; explode corners

@@ -287,3 +287,81 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "exact_fp",
         F.array_min(F.transform(shingles_of_tokens(F.col("__toks")), F.md5)).alias("shingle_fp"),
     )
+
+
+def lm_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, avg_logfreq) — corpus-bigram
+    language-model scoring, the CCNet-style quality signal, as two
+    complementary columns:
+
+    * ``avg_logprob`` — mean ln P(w_i | w_{i-1}) with
+      P = c(w_{i-1} w_i) / c_prefix(w_{i-1}) (prefix counts over
+      non-final positions, so probabilities per prefix sum to 1).
+      Catches "common prefix, weird continuation" disfluency.  Note
+      the self-training artifact: a document of globally-UNIQUE tokens
+      has P = 1 everywhere (its prefixes appear only in itself) — a
+      conditional LM trained on the corpus itself cannot call unique
+      gibberish rare, which is exactly why the second column exists.
+    * ``avg_logfreq`` — mean ln(c(bigram) / N_corpus_bigrams):
+      unconditional commonness; unique-token spam scores at the floor
+      ln(1/N) while fluent repeated text scores orders higher.
+
+    The corpus includes the document itself, so counts are ≥ 1 and the
+    log never sees zero.  Documents with < 2 tokens have no bigrams
+    and are emitted with NULL scores.
+
+    Scale shape: the two count tables are map-side-combinable groupBys
+    (one row per distinct bigram/prefix AFTER combine); scoring joins
+    doc bigrams against those aggregated tables — hot keys ("of the")
+    are 1 row on the build side, so AQE skew-split applies; the final
+    per-doc mean combines map-side.  ``avg_logprob`` is rounded to 6
+    decimals: ln and the sum order contribute ~1e-15 cross-engine
+    wobble, 9 orders below the rounding step."""
+    toks = documents.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("t"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.concat_ws(
+                            " ", F.element_at("t", i),
+                            F.element_at("t", i + 1)).alias("bg"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.w1").alias("w1"), F.col("e.bg").alias("bg"))
+    )
+    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    total = big.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row, broadcast
+    scored = (
+        big.join(bg_counts, "bg")
+        .join(w1_counts, "w1")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 6
+            ).alias("avg_logprob"),
+            F.round(
+                F.avg(F.log(F.col("c_bg") / F.col("n_total"))), 6
+            ).alias("avg_logfreq"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+            "avg_logfreq",
+        )
+    )

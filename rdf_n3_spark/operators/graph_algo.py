@@ -160,3 +160,43 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3,
         )
     return ranks.select(F.col("node").alias("node_id"),
                         F.col("rank").alias("rank_ppb"))
+
+
+def kcore_fixed(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """(node, in_core) — fixed-round k-core peeling over an undirected
+    (u, v) edge set: each round removes every node of current degree
+    < ``k`` (and its edges); survivors after ``rounds`` rounds are
+    flagged ``in_core`` = 1.  Fixed iteration count keeps the result
+    deterministic and oracle-replayable (the true k-core is the
+    fixpoint; ``rounds`` bounds how deep a peel cascade propagates per
+    call — rerun or raise it for full convergence, exactly like the
+    reasoner's bounded fixpoint modes).
+
+    Scale shape per round: degree = one map-side-combinable groupBy
+    over the symmetric edge list; the peel is an equi-semi-join of
+    edges against the (node-sized, aggregated) survivor table; per-
+    round ``localCheckpoint`` cuts lineage like every other iterative
+    operator here.  Output covers EVERY input node (peeled nodes with
+    in_core = 0)."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    cur = sym
+    for _ in range(rounds):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("u").alias("node"))
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    survivors = cur.select(F.col("u").alias("node")).distinct()
+    return (
+        all_nodes.join(survivors.withColumn("s", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("s", F.lit(0)).cast("int").alias("in_core"))
+    )

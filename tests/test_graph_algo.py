@@ -153,3 +153,36 @@ def test_triangle_counts_hub_fan(spark):
     assert rows["h"] == 9
     assert rows["s0"] == 1 and rows["s5"] == 2
     assert sum(rows.values()) == 27  # 9 triangles x 3 corners
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    """4-clique (all degrees 3) survives k=3; an attached chain peels
+    away — including the attachment point once its chain neighbor
+    goes, which needs the multi-round cascade."""
+    from rdf_n3_spark.operators.graph_algo import kcore_fixed
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(clique + chain, ["u", "v"])
+    rows = {r["node"]: r["in_core"] for r in kcore_fixed(edges, k=3).collect()}
+    assert {n for n, c in rows.items() if c == 1} == {"a", "b", "c", "d"}
+    assert {n for n, c in rows.items() if c == 0} == {"e", "f"}
+
+
+def test_kcore_rounds_bound_the_cascade(spark):
+    """A long pendant path needs one round per hop: rounds=1 only
+    strips the leaf-adjacent layer, rounds=4 finishes the peel."""
+    from rdf_n3_spark.operators.graph_algo import kcore_fixed
+
+    # path p0-p1-p2-p3-p4 attached to a 3-clique won't work for k=3
+    # (path degrees are 2 < 3, all peel in round 1); use k=2 instead
+    path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+    square = [("x", "y"), ("y", "z"), ("z", "w"), ("w", "x"), ("x", "p0")]
+    edges = spark.createDataFrame(path + square, ["u", "v"])
+    r1 = {r["node"]: r["in_core"]
+          for r in kcore_fixed(edges, k=2, rounds=1).collect()}
+    r7 = {r["node"]: r["in_core"]
+          for r in kcore_fixed(edges, k=2, rounds=7).collect()}
+    assert r1["p5"] == 0 and r1["p3"] == 1   # only the leaf end stripped
+    assert all(r7[f"p{i}"] == 0 for i in range(6))  # full cascade (6 hops)
+    assert all(r7[n] == 1 for n in "xyzw")   # the cycle is the 2-core
