@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
 from rdf_n3_spark.functions.text import (
     fingerprint,
+    hash_embed,
     keyword_topk,
     lang_id,
     lm_score,
@@ -1239,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comention_edges": _q_comention,
         "graph_kcore": _q_kcore,
         "lm_score": lambda s, d: lm_score(_docs(s, d)),
+        "hash_embed": lambda s, d: hash_embed(_docs(s, d)),
         "triangle_counts": _q_triangles,
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
@@ -2105,6 +2107,25 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS weight
             FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
             GROUP BY a.n, b.n
+        """,
+        # mirrors functions.text.hash_embed (dims=64, ±1 sign hash,
+        # zero-sum dims dropped)
+        "hash_embed": """
+            WITH tok AS (
+              SELECT doc_id,
+                     md5('hembed-v1|' || unnest(string_split(lower(text), ' '))) AS h
+              FROM documents
+            ), keyed AS (
+              SELECT doc_id,
+                     ('0x' || substr(h, 1, 8))::BIGINT % 64 AS dim,
+                     CASE WHEN substr(h, 9, 1) IN
+                          ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END AS v
+              FROM tok
+            )
+            SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(v) AS BIGINT) AS value
+            FROM keyed GROUP BY doc_id, dim HAVING sum(v) <> 0
         """,
         # mirrors graph_algo.kcore_fixed (k=3, rounds=3): unrolled
         # peel — survivors = nodes of degree >= 3 three rounds running

@@ -365,3 +365,36 @@ def lm_score(documents: DataFrame) -> DataFrame:
             "avg_logfreq",
         )
     )
+
+
+def hash_embed(documents: DataFrame, dims: int = 64,
+               seed: str = "hembed-v1") -> DataFrame:
+    """(doc_id, dim, value) — feature-hashing (hashing-trick) text
+    embedding as SPARSE integer rows: every token adds ±1 (sign hash,
+    the Weinberger et al. unbiasing trick) into md5-bucket ``dim``;
+    zero-sum dims are dropped.  The text-side bridge into the
+    embedding operator family (cosine ANN, k-means, SemDeDup) with no
+    model weights: exact bigint counts, engine-portable hashes, so
+    the vectors — and everything computed from them — are
+    bit-identical on any engine or partitioning.
+
+    Scale shape: explode tokens → ONE map-side-combinable
+    (doc_id, dim) sum; output is min(|tokens|, dims) rows per doc.
+    The sparse (doc_id, dim, value) layout joins/aggregates directly
+    (same shape as similarity.project_embeddings) and never pays the
+    dense-array fill for short documents."""
+    tok = documents.select(
+        "doc_id",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).withColumn("h", F.md5(F.concat(F.lit(seed + "|"), F.col("tok"))))
+    dim = F.pmod(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
+                 F.lit(dims))
+    sign = F.when(
+        F.substring("h", 9, 1).isin(*"89abcdef"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", dim.alias("dim"), sign.alias("v"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("v").cast("bigint").alias("value"))
+        .where(F.col("value") != 0)
+    )

@@ -37,3 +37,49 @@ def test_short_docs_get_null_score(spark):
             lm_score(_docs(spark, ["single", "two tokens"])).collect()}
     assert rows[0]["n_bigrams"] == 0 and rows[0]["avg_logprob"] is None
     assert rows[1]["n_bigrams"] == 1
+
+
+def test_hash_embed_deterministic_and_signed(spark):
+    """Same text → identical sparse vector on any partitioning; a
+    repeated token adds its ±1 twice into the same dim."""
+    from rdf_n3_spark.functions.text import hash_embed
+
+    docs = _docs(spark, ["alpha beta alpha", "alpha beta alpha"])
+    rows = hash_embed(docs.repartition(5)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["value"]
+    assert by_doc[0] == by_doc[1]  # identical text → identical vector
+    assert sorted(abs(v) for v in by_doc[0].values()) == [1, 2]  # 2×alpha, 1×beta
+
+
+def test_hash_embed_composes_with_kmeans(spark):
+    """The sparse rows densify into the clustering family's input
+    shape: two text groups land in two k-means clusters."""
+    from pyspark.sql import functions as F
+
+    from rdf_n3_spark.functions.text import hash_embed
+    from rdf_n3_spark.operators.clustering import embed_kmeans
+
+    # interleaved so the deterministic init (two lowest ids) spans
+    # both groups — ids 0,1 are one doc from each
+    texts = ["apple banana cherry date", "wolf xray yak zebra"] * 3
+    sparse = hash_embed(_docs(spark, texts))
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "value"))).alias("m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: F.coalesce(
+                    F.element_at("m", d).cast("float"), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    rows = embed_kmeans(dense, k=2, iters=2).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert set(map(frozenset, clusters.values())) == {
+        frozenset({0, 2, 4}), frozenset({1, 3, 5})}
