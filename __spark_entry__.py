@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from rdf_n3_spark.functions.builtins import LIST, LOG, MATH, STR, TIME
 from rdf_n3_spark.functions.text import (
     fingerprint,
+    gopher_quality,
     hash_embed,
     keyword_topk,
     lang_id,
@@ -1241,6 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_kcore,
         "lm_score": lambda s, d: lm_score(_docs(s, d)),
         "hash_embed": lambda s, d: hash_embed(_docs(s, d)),
+        # min_stop=1: the synthetic vocabulary carries ~1 Gopher stop
+        # word per doc, so the paper's floor of 2 would zero the row
+        "gopher_quality": lambda s, d: gopher_quality(_docs(s, d), min_stop=1),
         "triangle_counts": _q_triangles,
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
@@ -2107,6 +2111,45 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS weight
             FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
             GROUP BY a.n, b.n
+        """,
+        # mirrors functions.text.gopher_quality (Rae et al. 2021 §A1.1
+        # rules; replace-length trick for # / ... counts)
+        "gopher_quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS t,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                       / len(t) AS mean_word_len,
+                     CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) / len(t) AS frac_alpha_words,
+                     (len(text) - len(replace(text, '#', ''))
+                      + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                       / len(t) AS symbol_ratio,
+                     CAST(len(list_filter(lines,
+                          l -> left(l, 1) = '-' OR left(l, 1) = '*'))
+                          AS DOUBLE) / len(lines) AS bullet_frac,
+                     CAST(len(list_filter(lines, l -> right(l, 3) = '...'))
+                          AS DOUBLE) / len(lines) AS ellipsis_frac,
+                     CAST(len(list_filter(
+                          ['the','be','to','of','and','that','have','with'],
+                          w -> list_contains(t, w))) AS BIGINT) AS n_stop_present
+              FROM base
+            )
+            SELECT *,
+                   CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                              AND mean_word_len BETWEEN 3 AND 10
+                              AND frac_alpha_words >= 0.8
+                              AND symbol_ratio <= 0.1
+                              AND bullet_frac <= 0.9
+                              AND ellipsis_frac <= 0.3
+                              AND n_stop_present >= 1
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM sig
         """,
         # mirrors functions.text.hash_embed (dims=64, ±1 sign hash,
         # zero-sum dims dropped)

@@ -398,3 +398,71 @@ def hash_embed(documents: DataFrame, dims: int = 64,
         .agg(F.sum("v").cast("bigint").alias("value"))
         .where(F.col("value") != 0)
     )
+
+
+#: the Gopher/MassiveText "stop word presence" list (Rae et al. 2021
+#: §A1.1: a document must contain ≥2 of these to pass)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(documents: DataFrame, min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_stop: int = 2) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+    bullet_frac, ellipsis_frac, n_stop_present, keep) — the
+    Gopher/MassiveText repetition-free quality rules (Rae et al. 2021
+    §A1.1) as one narrow map:
+
+    * 50 ≤ word count ≤ 100 000;
+    * 3 ≤ mean word length ≤ 10;
+    * ≥ 80% of words contain an alphabetic character;
+    * symbol-to-word ratio (``#`` and ``...``) ≤ 0.1;
+    * ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis;
+    * ≥ 2 of the 8 canonical stop words present.
+
+    ``keep`` = 1 iff every rule passes (degenerate/empty docs fail the
+    word-count floor; null arithmetic falls through to keep=0, never
+    an error).  The word-count and stop-word floors are parameters
+    (corpora with synthetic/non-English vocabularies re-tune them;
+    defaults are the paper's).  Pure Column expressions over bound arrays — zero
+    shuffle, scales with the scan; every ratio is an int/int single
+    division, so the DuckDB oracle matches bit-for-bit.  The ``...``
+    and ``#`` counts use the replace-length trick (greedy left-to-
+    right non-overlapping in both engines)."""
+    t = tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    n = F.size(t)
+    total_len = F.aggregate(t, F.lit(0).cast("bigint"),
+                            lambda a, x: a + F.length(x))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ell = (F.length("text")
+           - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3
+    bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("-") | l.startswith("*")))
+    ell_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_lines = F.size(lines)
+    stops = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        lambda w: F.array_contains(t, w)))
+    out = documents.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        (total_len / n).alias("mean_word_len"),
+        (alpha / n).alias("frac_alpha_words"),
+        ((hashes + ell) / n).alias("symbol_ratio"),
+        (bullet / n_lines).alias("bullet_frac"),
+        (ell_end / n_lines).alias("ellipsis_frac"),
+        stops.cast("bigint").alias("n_stop_present"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("n_stop_present") >= min_stop)
+    )
+    return out.select(
+        "*", F.when(keep, 1).otherwise(0).cast("int").alias("keep"))

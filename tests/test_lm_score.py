@@ -83,3 +83,35 @@ def test_hash_embed_composes_with_kmeans(spark):
         clusters.setdefault(r["cluster"], set()).add(r["vec_id"])
     assert set(map(frozenset, clusters.values())) == {
         frozenset({0, 2, 4}), frozenset({1, 3, 5})}
+
+
+def test_gopher_quality_rules(spark):
+    from rdf_n3_spark.functions.text import gopher_quality
+
+    good = "the quick brown fox jumps over lazy dogs " * 8  # 72 words, stops
+    bullets = "\n".join("- item" for _ in range(10))
+    symbols = "the " + "# " * 60
+    rows = {r["doc_id"]: r for r in gopher_quality(
+        _docs(spark, [good, bullets, symbols]), min_stop=1).collect()}
+    assert rows[0]["keep"] == 1
+    assert rows[1]["bullet_frac"] == 1.0 and rows[1]["keep"] == 0
+    assert rows[2]["symbol_ratio"] > 0.1 and rows[2]["keep"] == 0
+
+
+def test_gopher_quality_word_count_floor_and_nulls(spark):
+    from rdf_n3_spark.functions.text import gopher_quality
+
+    rows = {r["doc_id"]: r for r in gopher_quality(
+        _docs(spark, ["the of and short", None]), min_stop=1).collect()}
+    assert rows[0]["n_words"] == 4 and rows[0]["keep"] == 0  # < 50 words
+    assert rows[1]["keep"] == 0  # null text degrades, never errors
+
+
+def test_gopher_quality_stopword_floor(spark):
+    from rdf_n3_spark.functions.text import gopher_quality
+
+    text = "zebra " * 60  # 50+ words, zero canonical stop words
+    r0 = gopher_quality(_docs(spark, [text]), min_stop=1).collect()[0]
+    assert r0["n_stop_present"] == 0 and r0["keep"] == 0
+    r1 = gopher_quality(_docs(spark, [text]), min_stop=0).collect()[0]
+    assert r1["keep"] == 1  # the floor is the parameterized knob
