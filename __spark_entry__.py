@@ -43,6 +43,7 @@ from rdf_n3_spark.operators.curation import (
     curate_corpus,
     decontaminate,
     pack_sequences,
+    paragraph_dedup,
 )
 from rdf_n3_spark.operators.substrings import (
     dup_spans,
@@ -1245,6 +1246,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min_stop=1: the synthetic vocabulary carries ~1 Gopher stop
         # word per doc, so the paper's floor of 2 would zero the row
         "gopher_quality": lambda s, d: gopher_quality(_docs(s, d), min_stop=1),
+        # the raw synthetic corpus is newline-free and all-unique, so
+        # the gate input is a deterministic self-union: docs < 50
+        # duplicated at offset ids — both verdict branches exercised
+        "paragraph_dedup": lambda s, d: paragraph_dedup(
+            _docs(s, d).select("doc_id", "text").unionByName(
+                _docs(s, d).where(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 10000).alias("doc_id"), "text"))),
         "triangle_counts": _q_triangles,
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
@@ -2111,6 +2119,35 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS weight
             FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
             GROUP BY a.n, b.n
+        """,
+        # mirrors curation.paragraph_dedup over the same self-union
+        # (docs < 50 duplicated at +10000 ids): corpus-first occurrence
+        # of each paragraph hash survives, every other copy is_dup=1
+        "paragraph_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id < 50
+            ), paras AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, md5(p[i]) AS h
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus),
+                   LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+              WHERE len(trim(p[i])) > 0
+            ), firsts AS (
+              SELECT h, n, doc_id AS fdoc, para_idx AS fidx FROM (
+                SELECT h, doc_id, para_idx,
+                       count(*) OVER (PARTITION BY h) AS n,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, para_idx) AS rn
+                FROM paras) WHERE rn = 1
+            )
+            SELECT p.doc_id, p.para_idx,
+                   CAST(CASE WHEN f.n > 1
+                              AND NOT (p.doc_id = f.fdoc
+                                       AND p.para_idx = f.fidx)
+                        THEN 1 ELSE 0 END AS INT) AS is_dup
+            FROM paras p JOIN firsts f USING (h)
         """,
         # mirrors functions.text.gopher_quality (Rae et al. 2021 §A1.1
         # rules; replace-length trick for # / ... counts)

@@ -355,3 +355,48 @@ def curate_corpus(documents: DataFrame, benchmark: DataFrame, n: int = 4,
         "doc_id", "is_exact_dup", "is_near_dup", "contaminated",
         "low_quality", "repetitive", (~drop).alias("keep"),
     )
+
+
+def paragraph_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, para_idx, is_dup) — paragraph-level exact dedup (the
+    Dolma recipe): every newline-delimited, non-empty paragraph is
+    hashed; a paragraph is a duplicate iff the same md5 occurs
+    anywhere else in the corpus (another document OR another position
+    of the same document) and this occurrence is not the corpus-first
+    (min (doc_id, para_idx)) one — so exactly one copy of each
+    repeated paragraph survives, the removal rule a curation pass
+    applies in place.  The third dedup granularity next to token-span
+    (`substrings`) and content-defined-chunk (`chunk_dedup`) passes.
+
+    Scale shape: posexplode paragraphs (linear) → ONE map-side-
+    combinable groupBy per hash computing (count, min position) →
+    equi-join back (1 build row per hash, AQE-splittable on hot
+    boilerplate paragraphs).  Same duplicate-test shape as
+    `substrings.dup_spans` — never a per-hash window."""
+    paras = (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("para_idx", "para"),
+        )
+        .where(F.length(F.trim("para")) > 0)
+        .select("doc_id", "para_idx", F.md5("para").alias("h"))
+    )
+    firsts = (
+        paras.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("doc_id", "para_idx")).alias("first"),
+        )
+    )
+    return (
+        paras.join(firsts, "h")
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("int"),
+            (
+                (F.col("n") > 1)
+                & ~((F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("para_idx") == F.col("first.para_idx")))
+            ).cast("int").alias("is_dup"),
+        )
+    )
