@@ -153,3 +153,48 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 3  # iters+1 assigns
     for node in PY_EVAL_NODES:
         assert node not in plan, node
+
+
+def test_gopher_quality_is_pure_map(spark):
+    """gopher_quality is a zero-shuffle narrow map: no Exchange, no
+    join, no Python eval — it rides the scan partitioning."""
+    from rdf_n3_spark.functions.text import gopher_quality
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(gopher_quality(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan, node
+
+
+def test_lm_score_joins_aggregated_counts_only(spark):
+    """lm_score's only nested-loop join is the broadcast 1-row total;
+    the bigram/prefix joins are equi-joins against aggregated (1 row
+    per key) tables, and both count aggs combine map-side."""
+    from rdf_n3_spark.functions.text import lm_score
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(lm_score(docs))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row total
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan, node
+
+
+def test_paragraph_and_hash_embed_duplicate_tests_combine_mapside(spark):
+    """paragraph_dedup and hash_embed keep the dup-test/sum shape of
+    dup_spans: groupBy (map-side combinable) — never a count() window
+    partitioned by the hash key."""
+    from rdf_n3_spark.functions.text import hash_embed
+    from rdf_n3_spark.operators.curation import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for df in (paragraph_dedup(docs), hash_embed(docs)):
+        plan = _plan(df)
+        assert "windowspecdefinition" not in plan.lower()
+        assert "partial" in plan
+        assert "CartesianProduct" not in plan
+        for node in PY_EVAL_NODES:
+            assert node not in plan, node
