@@ -60,6 +60,10 @@ CROSS_SF = [
     "transcripts_build", "mention_extract", "entity_agg", "rule_closure",
     "graph_includes_join", "entity_canon", "dedup_minhash",
     "dedup_embedding", "ann_topk_partial", "media_features",
+    # round-3 queries whose dedicated test files don't already pin
+    # sf0.001 parity themselves
+    "gopher_quality", "paragraph_dedup", "hash_embed", "graph_kcore",
+    "lm_score", "dedup_incremental",
 ]
 
 
