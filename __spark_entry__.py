@@ -57,6 +57,7 @@ from rdf_n3_spark.operators.clustering import (
 from rdf_n3_spark.operators.events import (
     event_quantiles,
     event_rollup,
+    histogram_quantiles,
     sessionize_batch,
 )
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
@@ -1261,6 +1262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet"), gap_minutes=30),
         "event_quantiles": lambda s, d: event_quantiles(
             s.read.parquet(f"{d}/events.parquet")),
+        # width 600 cents × 64 bins covers the synthetic value domain
+        # (≤ 327.53) without clamping the upper percentiles
+        "event_histogram_quantiles": lambda s, d: histogram_quantiles(
+            s.read.parquet(f"{d}/events.parquet"), width_cents=600),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -2299,6 +2304,31 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             FROM ordered
             WINDOW w2 AS (PARTITION BY user_id ORDER BY rnk
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # mirrors events.histogram_quantiles (width 600 cents, 64 bins,
+        # p50/90/99): fixed-boundary sketch, lower-bin-boundary pick
+        "event_histogram_quantiles": """
+            WITH h AS (
+              SELECT event_type,
+                     least(greatest(CAST(floor(
+                       CAST(round(value * 100) AS BIGINT) / 600.0) AS BIGINT),
+                       0), 63) AS bin,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT event_type, bin,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS total
+              FROM h
+            ), pp AS (SELECT unnest([50, 90, 99]) AS p)
+            SELECT c.event_type, CAST(pp.p AS INT) AS p,
+                   CAST(min(c.bin) AS BIGINT) AS bin,
+                   CAST(min(c.bin) * 600 AS BIGINT) AS est_cents
+            FROM c CROSS JOIN pp
+            WHERE c.cum >= floor(pp.p * (c.total - 1) / 100.0) + 1
+            GROUP BY c.event_type, pp.p
         """,
         # mirrors events.event_quantiles: exact nearest-rank(lower)
         # element selection — bit-portable, unlike sketch/interpolated

@@ -180,3 +180,66 @@ def event_rollup(events: DataFrame, unit: str = "hour") -> DataFrame:
             "event_type", "n_events", "total_cents", "max_cents",
         )
     )
+
+
+def histogram_quantiles(events: DataFrame, width_cents: int = 100,
+                        bins: int = 64,
+                        percentiles: tuple = (50, 90, 99)) -> DataFrame:
+    """(event_type, p, bin, est_cents) — approximate percentiles from a
+    FIXED-BOUNDARY integer histogram sketch, the 100 TB complement of
+    :func:`event_quantiles` (which shuffles every value to its key's
+    reducer for the exact nearest-rank pick):
+
+    * sketch: bin = clamp(cents div width_cents, 0, bins-1) → ONE
+      map-side-combinable groupBy; per-key state is ≤ ``bins`` counts
+      regardless of row count, and two sketches MERGE by adding counts
+      (boundaries are data-independent — the property streaming /
+      multi-day rollups need);
+    * estimate: the smallest bin whose cumulative count reaches the
+      SAME nearest-rank(lower) position the exact operator selects
+      (⌊p·(n−1)/100⌋ + 1 — matching ranks is what makes the bound
+      below hold); ``est_cents`` = that bin's LOWER boundary, so the
+      exact quantile lies in [est, est + width) — all-integer,
+      bit-identical across engines and partitionings;
+    * the cumulative window runs over the TINY histogram
+      (#event_types × bins rows), never over the events.
+
+    Clamped top bin: values ≥ bins·width land in the last bin (its
+    lower boundary under-estimates them — size ``bins`` to the domain,
+    exactly like any fixed-range histogram)."""
+    cents = F.round(F.col("value") * 100).try_cast("bigint")
+    # floor() explicitly: double→bigint CAST truncates toward zero in
+    # Spark but rounds in DuckDB — floor-then-cast agrees in both
+    b = F.least(
+        F.greatest(F.floor(cents / width_cents).cast("bigint"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    hist = (
+        events.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    picks = None
+    for p in percentiles:
+        need = F.floor(F.lit(p) * (F.col("total") - 1) / 100) + 1
+        cand = (
+            cum.where(F.col("cum") >= need)
+            .groupBy("event_type")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                "event_type", F.lit(p).cast("int").alias("p"), "bin",
+                (F.col("bin") * width_cents).cast("bigint").alias("est_cents"),
+            )
+        )
+        picks = cand if picks is None else picks.unionByName(cand)
+    return picks

@@ -149,3 +149,34 @@ def test_event_quantiles_single_row_all_probs(spark):
     )
     got = event_quantiles(df).collect()
     assert len(got) == 3 and all(r["cents_at_p"] == 350 for r in got)
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    """The sketch estimate is the exact quantile's bin lower boundary
+    (error < width by construction), and histograms MERGE: sketching a
+    doubled corpus gives identical picks (counts scale, boundaries
+    don't move)."""
+    from rdf_n3_spark.operators.events import (
+        event_quantiles,
+        histogram_quantiles,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {(r["event_type"], r["p"]): r["cents_at_p"]
+             for r in event_quantiles(ev).collect()}
+    rows = histogram_quantiles(ev, width_cents=600).collect()
+    approx = {(r["event_type"], r["p"]): r["est_cents"] for r in rows}
+    unclamped = {(r["event_type"], r["p"]) for r in rows if r["bin"] < 63}
+    assert unclamped  # the width covers the domain: picks aren't clamped
+    for key in unclamped & set(exact):
+        assert approx[key] <= exact[key] < approx[key] + 600
+    # the distributed-merge property: bin boundaries are data-
+    # independent and counts add, so ANY partitioning of the input
+    # (i.e. any map-side combine grouping) yields the identical sketch
+    # and identical picks
+    approx2 = {(r["event_type"], r["p"]): r["est_cents"]
+               for r in histogram_quantiles(
+                   ev.repartition(17), width_cents=600).collect()}
+    assert approx2 == approx
