@@ -112,3 +112,37 @@ def windowed_mention_counts(
     return toks.groupBy(F.window("ts", window).alias("w"), "norm").agg(
         F.count(F.lit(1)).alias("n_mentions")
     )
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    width_cents: int = 600,
+    bins: int = 64,
+) -> DataFrame:
+    """(w, event_type, bin, n) — the histogram sketch of
+    :func:`rdf_n3_spark.operators.events.histogram_quantiles` as a
+    watermarked event-time windowed aggregation: per-window per-type
+    fixed-boundary bin counts, the continuously-maintained input to
+    approximate-percentile monitoring.
+
+    Exactly the case the sketch's merge property exists for: bin
+    boundaries are data-independent, so Structured Streaming's
+    incremental partial aggregation (late rows folding into existing
+    window state, map-side combine per micro-batch) computes the SAME
+    counts a batch pass would; state is bounded by watermark horizon ×
+    #types × ``bins`` rows.  Per-bin counts for one window match the
+    batch sketch over that window's rows (pinned by
+    tests/test_streaming.py)."""
+    cents = F.round(F.col("value") * 100).try_cast("bigint")
+    b = F.least(
+        F.greatest(F.floor(cents / width_cents).cast("bigint"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", b.alias("bin"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -87,3 +87,41 @@ def test_windowed_is_streaming_capable(spark, drops):
     # append mode emits only watermark-closed windows; table existing
     # (possibly empty) proves the stateful plan executed
     assert spark.table("wmc").columns == ["w", "norm", "n_mentions"]
+
+
+def test_windowed_histogram_matches_batch_sketch(spark, tmp_path):
+    """The streamed windowed histogram's per-window bin counts equal
+    the batch sketch over the same rows (the merge property under
+    incremental aggregation), and the plan is streaming-legal."""
+    import datetime as dt
+
+    from rdf_n3_spark.streaming.ingest import windowed_value_histogram
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "purchase", float(v), "")
+            for i, v in enumerate([1.0, 7.5, 7.5, 13.0, 650.0])]
+    src = str(tmp_path / "ev")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        windowed_value_histogram(stream, window="1 hour", width_cents=600)
+        .writeStream.format("memory").queryName("whist")
+        # complete mode: append would hold rows until the watermark
+        # passes the window, which a single availableNow pass never does
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_type"], r["bin"]): r["n"]
+           for r in spark.sql("SELECT event_type, bin, n FROM whist").collect()}
+    # cents: 100, 750, 750, 1300, 65000 → bins (width 600): 0, 1, 1, 2, 63
+    assert got == {("purchase", 0): 1, ("purchase", 1): 2,
+                   ("purchase", 2): 1, ("purchase", 63): 1}
+    batch = windowed_value_histogram(
+        spark.read.parquet(src), window="1 hour", width_cents=600)
+    got_batch = {(r["event_type"], r["bin"]): r["n"] for r in batch.collect()}
+    assert got_batch == got
