@@ -1167,7 +1167,47 @@ def _q_frame_sample(spark, sf_dir):
     return frame_sample_plan(d)
 
 
+# The driver's correctness harness checks the FIRST 50 entries of
+# queries() in dict order (CORRECTNESS_r03.json == queries()[0:50]).
+# Rounds 2-3 appended new operators at the tail, so the whole
+# text/curation/events/graph-algo/clustering surface sat outside the
+# window with only the pytest-side oracle parity (the identical check,
+# but not the driver artifact).  _DRIVER_WINDOW pins the window to:
+# every operator that has never had a driver-green row, plus §2
+# sentinels (parser, writer, fixpoint, includes, math builtins) and
+# north-rule representatives (transcripts, canon, materialize,
+# minhash) so reference-surface regressions stay driver-visible.
+# tests/test_entry_parity.py::test_driver_window_covers_uncertified
+# pins the invariant; queries added in FUTURE rounds go at the head of
+# this list (displacing sentinels, never the uncertified block).
+_DRIVER_WINDOW = [
+    # 41 never-driver-certified (rounds 2-3 pipeline operators)
+    "text_stats", "text_quality", "lang_id", "doc_fingerprint",
+    "text_redact", "text_repetition", "decontaminate", "pack_sequences",
+    "curate_corpus", "corpus_split", "doc_chunks", "chunk_dedup",
+    "keyword_topk", "search_topk", "kmv_distinct", "corpus_sample",
+    "stratified_sample", "shuffle_shards", "source_mix",
+    "graph_pagerank", "comention_edges", "graph_kcore", "lm_score",
+    "hash_embed", "gopher_quality", "paragraph_dedup", "triangle_counts",
+    "events_asof", "event_rollup", "event_sessions", "event_quantiles",
+    "event_histogram_quantiles", "boilerplate_ngrams", "boilerplate_share",
+    "substring_spans", "substring_dedup", "dedup_source_matrix",
+    "dedup_incremental", "embed_kmeans", "semdedup_prune", "cluster_sample",
+    # §2 sentinels + north-rule representatives (all green in r1-r3)
+    "n3_parse_udf", "n3_write_udf", "rule_closure", "graph_includes",
+    "builtin_math", "transcripts_build", "entity_canon", "graph_nodes",
+    "dedup_minhash",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    ordered = {k: base[k] for k in _DRIVER_WINDOW}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_build": _q_transcripts,
         "mention_extract": _q_mentions,
@@ -1933,7 +1973,9 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT vec_id, CAST(cluster AS INT) AS cluster FROM af
         """,
         # mirrors clustering.semdedup_prune (threshold 0.35): within-
-        # cluster pairwise cosine, lower-id vector wins
+        # cluster pairwise cosine, lower-id vector wins; zero-norm
+        # vectors are excluded from the pairwise test exactly like the
+        # Spark operator (NaN/NULL-on-/0 semantics differ per engine)
         "semdedup_prune": f"""
             {_kmeans_ctes()},
             pairs AS (
@@ -1941,7 +1983,9 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
               FROM af l JOIN af r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
               JOIN qe q ON q.vec_id = l.vec_id
               JOIN qe t ON t.vec_id = r.vec_id
-              WHERE {_COS_EXPR} >= 0.35
+              WHERE list_sum(list_transform(q.e, x -> x * x)) > 0
+                AND list_sum(list_transform(t.e, x -> x * x)) > 0
+                AND {_COS_EXPR} >= 0.35
             ),
             dup AS (SELECT DISTINCT b AS vec_id FROM pairs)
             SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
@@ -2314,7 +2358,9 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                        CAST(round(value * 100) AS BIGINT) / 600.0) AS BIGINT),
                        0), 63) AS bin,
                      count(*) AS n
-              FROM events GROUP BY 1, 2
+              FROM events
+              WHERE CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              GROUP BY 1, 2
             ), c AS (
               SELECT event_type, bin,
                      sum(n) OVER (PARTITION BY event_type ORDER BY bin

@@ -142,15 +142,39 @@ def main() -> None:
     minhash = sink(minhash_neardup_pairs(docs_tbl))
     ann = sink(ivf_topk(embs_tbl, hamming=1).drop("cos"))
 
+    # one representative per round-3 family (VERDICT r3 item 6), so
+    # their regressions are bench-visible round-over-round:
+    # substrings / events / text-search / graph-analytics
+    from rdf_n3_spark.operators.events import asof_join, latest_per_ts
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+    from rdf_n3_spark.functions.text import keyword_topk
+    from rdf_n3_spark.operators.substrings import dup_spans
+    from rdf_n3_spark.sources.transcripts import transcripts as mk_transcripts
+
+    substr = sink(dup_spans(docs_tbl, k=8))
+    kw = sink(keyword_topk(docs_tbl))
+    ev_tbl = spark.read.parquet(f"{sf_dir}/events.parquet")
+    asof = sink(
+        asof_join(
+            ev_tbl.where(F.col("event_type") == "purchase"),
+            latest_per_ts(ev_tbl.where(F.col("event_type") == "signup")),
+            key="user_id", ts="ts", right_cols=("event_id", "value"),
+        ).drop("ts")
+    )
+    m1 = extract_mentions(mk_transcripts(spark, sf_dir, mult=1))
+    tri = sink(triangle_counts(
+        cooccurrence_edges(m1, group="conv_id", node="norm")))
+
     # iterative-path evidence row: PageRank over the UNREPLICATED
     # sf-dir entity graph (mult-independent like the other evidence
     # rows). pagerank_quantized materializes per-iteration checkpoints
     # eagerly, so each timed run re-invokes the whole function — the
     # plan-rewrap trick would only re-scan the final checkpoint.
     from rdf_n3_spark.operators.graph_algo import pagerank_quantized
-    from rdf_n3_spark.sources.transcripts import transcripts as mk_transcripts
 
-    m1 = extract_mentions(mk_transcripts(spark, sf_dir, mult=1))
     edges = (
         mention_triples(m1).unionByName(entity_triples(m1))
         .where(F.col("o").rlike("^(ent|conv|sk):"))
@@ -174,6 +198,10 @@ def main() -> None:
         "dedup_minhash": timed_runs(minhash, runs, stat),
         "ann_ivf_multiprobe": timed_runs(ann, runs, stat),
         "graph_pagerank": timed_pagerank(),
+        "substring_spans": timed_runs(substr, runs, stat),
+        "events_asof": timed_runs(asof, runs, stat),
+        "keyword_topk": timed_runs(kw, runs, stat),
+        "triangle_counts": timed_runs(tri, runs, stat),
     }
     total = sum(per_query.values())
     turns_per_sec = round(n_turns / per_query["kg_pipeline"], 1)

@@ -114,10 +114,16 @@ def _unescape(s: str) -> str:
                 out.append(_ESCAPES[e])
                 i += 2
             elif e == "u":
-                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                try:
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                except ValueError:
+                    raise N3ParseError(f"bad \\u escape {s[i:i + 6]!r}") from None
                 i += 6
             elif e == "U":
-                out.append(chr(int(s[i + 2 : i + 10], 16)))
+                try:
+                    out.append(chr(int(s[i + 2 : i + 10], 16)))
+                except ValueError:
+                    raise N3ParseError(f"bad \\U escape {s[i:i + 10]!r}") from None
                 i += 10
             else:
                 raise N3ParseError(f"bad escape \\{e}")
@@ -128,6 +134,78 @@ def _unescape(s: str) -> str:
 
 
 _PN_LOCAL_ESC_RE = re.compile(r"\\(.)")
+
+
+# --------------------------------------------- validate / canonicalize
+# Lexical-form validity per XSD 1.1 (the must-pass half of the
+# reference reader's `validate:` option, reader.rb:24-159; invalid
+# typed literals raise in validate mode instead of flowing through).
+_XSD_LEXICAL = {
+    f"{XSD}integer": re.compile(r"[+-]?\d+\Z"),
+    f"{XSD}decimal": re.compile(r"[+-]?(?:\d+\.\d*|\.\d+|\d+)\Z"),
+    f"{XSD}double": re.compile(
+        r"(?:[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|[+-]?INF|NaN)\Z"),
+    f"{XSD}boolean": re.compile(r"(?:true|false|1|0)\Z"),
+    f"{XSD}date": re.compile(r"-?\d{4,}-\d{2}-\d{2}(?:[+-]\d{2}:\d{2}|Z)?\Z"),
+    f"{XSD}time": re.compile(
+        r"\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[+-]\d{2}:\d{2}|Z)?\Z"),
+    f"{XSD}dateTime": re.compile(
+        r"-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+        r"(?:[+-]\d{2}:\d{2}|Z)?\Z"),
+}
+
+
+def _canon_integer(lex: str) -> str:
+    """XSD canonical integer: no '+', no leading zeros ('0' stays)."""
+    sign = "-" if lex.startswith("-") else ""
+    digits = lex.lstrip("+-").lstrip("0") or "0"
+    return sign + digits if digits != "0" else "0"
+
+
+def _canon_decimal(lex: str) -> str:
+    """XSD canonical decimal: at least one digit each side of the
+    point, no '+', no superfluous leading/trailing zeros."""
+    sign = "-" if lex.startswith("-") else ""
+    body = lex.lstrip("+-")
+    intpart, _, frac = body.partition(".")
+    intpart = intpart.lstrip("0") or "0"
+    frac = frac.rstrip("0") or "0"
+    if intpart == "0" and frac == "0":
+        return "0.0"
+    return f"{sign}{intpart}.{frac}"
+
+
+def _canon_double(lex: str) -> str:
+    """Canonical double, rdf-n3 writer flavor (writer.rb:277-296 /
+    RDF::Literal::Double#canonicalize): one nonzero digit before the
+    point, lowercase 'e', minimal exponent — '1e3' → '1.0e3'.
+    Decimal-based so the mantissa digits are exact (no binary-float
+    round trip)."""
+    from decimal import Decimal
+
+    if lex in ("INF", "+INF", "-INF", "NaN"):
+        return lex.lstrip("+")
+    d = Decimal(lex)
+    sign = "-" if d.is_signed() else ""
+    if d == 0:
+        return f"{sign}0.0e0"
+    t = d.normalize().as_tuple()
+    digits = "".join(map(str, t.digits))
+    exp = t.exponent + len(digits) - 1
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}e{exp}"
+
+
+def _canon_boolean(lex: str) -> str:
+    return {"1": "true", "0": "false"}.get(lex, lex)
+
+
+_CANONICALIZERS = {
+    f"{XSD}integer": _canon_integer,
+    f"{XSD}decimal": _canon_decimal,
+    f"{XSD}double": _canon_double,
+    f"{XSD}boolean": _canon_boolean,
+}
 
 
 def _tokenize(text: str):
@@ -180,7 +258,15 @@ class _Scope:
 
 
 class N3Parser:
-    def __init__(self, text: str, base_uri: str = "", list_terms: bool = False):
+    def __init__(self, text: str, base_uri: str = "", list_terms: bool = False,
+                 validate: bool = False, canonicalize: bool = False):
+        """``validate``/``canonicalize`` mirror the reference reader's
+        option surface (reader.rb:24-159): validate raises
+        :class:`N3ParseError` on ill-typed XSD literals (the grammar
+        itself already must-fails on malformed syntax in every mode);
+        canonicalize rewrites numeric/boolean lexical forms to their
+        canonical representation (writer.rb:277-296 flavor:
+        '1e3' → '1.0e3', '.5' → '0.5', '+007' → '7')."""
         self.toks = _tokenize(text)
         self.i = 0
         self.base = base_uri or ""
@@ -196,6 +282,29 @@ class N3Parser:
         # None = no @keywords directive (all built-in keywords active);
         # a set = only the listed barewords act as keywords
         self.declared_keywords: set[str] | None = None
+        self.validate = validate
+        self.canonicalize = canonicalize
+
+    def _typed(self, lex: str, dtype: str) -> str:
+        """Build '"lex"^^<xsd:dtype>' honoring validate/canonicalize.
+        ``lex`` is already escape-encoded; numeric/boolean/temporal
+        lexical forms contain no escapes, so the checks operate on it
+        directly."""
+        full = f"{XSD}{dtype}"
+        if self.validate:
+            rx = _XSD_LEXICAL.get(full)
+            if rx is not None and not rx.match(lex):
+                raise N3ParseError(f"invalid xsd:{dtype} literal {lex!r}")
+        if self.canonicalize:
+            canon = _CANONICALIZERS.get(full)
+            if canon is not None:
+                try:
+                    lex = canon(lex)
+                except (ValueError, ArithmeticError):
+                    if self.validate:
+                        raise N3ParseError(
+                            f"invalid xsd:{dtype} literal {lex!r}")
+        return f'"{lex}"^^<{full}>'
 
     # --- token helpers
     def peek(self):
@@ -399,7 +508,7 @@ class N3Parser:
             return v
         if k == "INTEGER":
             self.next()
-            return f'"{v}"^^<{XSD}integer>'
+            return self._typed(v, "integer")
         if k == "DECIMAL":
             self.next()
             lex = v
@@ -407,14 +516,14 @@ class N3Parser:
                 lex = "0" + lex
             elif lex.startswith(("-.", "+.")):
                 lex = lex[0] + "0" + lex[1:]
-            return f'"{lex}"^^<{XSD}decimal>'
+            return self._typed(lex, "decimal")
         if k == "DOUBLE":
             self.next()
             lex = re.sub(r"\.([eE])", r".0\1", v)
-            return f'"{lex}"^^<{XSD}double>'
+            return self._typed(lex, "double")
         if k == "BAREWORD" and v in ("true", "false") and self._kw(v):
             self.next()
-            return f'"{v}"^^<{XSD}boolean>'
+            return self._typed(v, "boolean")
         if k == "BAREWORD" and self.keywords_mode:
             self.next()
             return self.resolve_pname(f":{v}")
@@ -445,6 +554,9 @@ class N3Parser:
             dt = self.term()
             if not dt.startswith("<"):
                 raise N3ParseError(f"bad datatype {dt!r}")
+            iri = dt[1:-1]
+            if iri.startswith(XSD):
+                return self._typed(esc, iri[len(XSD):])
             return f'"{esc}"^^{dt}'
         return f'"{esc}"'
 
@@ -497,10 +609,12 @@ class N3Parser:
 
 
 def parse_n3(
-    text: str, base_uri: str = "", list_terms: bool = False
+    text: str, base_uri: str = "", list_terms: bool = False,
+    validate: bool = False, canonicalize: bool = False,
 ) -> list[tuple[str, str, str, str]]:
     """Parse an N3/Turtle document → list of (s, p, o, g) quads."""
-    return N3Parser(text, base_uri=base_uri, list_terms=list_terms).parse()
+    return N3Parser(text, base_uri=base_uri, list_terms=list_terms,
+                    validate=validate, canonicalize=canonicalize).parse()
 
 
 def parse_n3_full(

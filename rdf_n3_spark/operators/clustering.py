@@ -143,10 +143,19 @@ def semdedup_prune(embeddings: DataFrame, threshold: float = 0.5,
         F.zip_with("ea", "eb", lambda x, y: x * y),
         F.lit(0).cast("bigint"), lambda acc, v: acc + v,
     )
+    # zero-norm guard: an all-zero quantized vector would make
+    # cos = 0/0 = NaN, and Spark sorts NaN ABOVE every double — so
+    # `cos >= threshold` would be TRUE and one degenerate vector would
+    # flag its whole cluster as duplicates (DuckDB's NULL-on-/0 would
+    # also silently diverge). Degenerate vectors are never duplicate
+    # evidence; they keep themselves via the left anti-join below.
     dup_b = (
         a.join(b, "cluster")
         .where(F.col("a") < F.col("b"))
-        .withColumn("cos", dot / (_norm(F.col("ea")) * _norm(F.col("eb"))))
+        .withColumn("na", _norm(F.col("ea")))
+        .withColumn("nb", _norm(F.col("eb")))
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select(F.col("b").alias("vec_id"))
         .distinct()

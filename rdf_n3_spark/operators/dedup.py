@@ -149,15 +149,23 @@ _JACCARD = (
 
 def source_dup_matrix(documents: DataFrame, threshold: float = 0.8,
                       n_hashes: int = N_HASHES, bands: int = BANDS,
-                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+                      max_bucket: int = MAX_BUCKET,
+                      pairs: DataFrame | None = None) -> DataFrame:
     """(source_a, source_b, n_pairs) — the cross-source contamination
     report: how many verified near-duplicate pairs connect each
     (unordered) pair of sources.  The question every corpus audit asks
     first — which feeds are re-crawls of which — answered from the
     pair set that dedup already computes: one tiny extra join against
-    the doc→source map and a groupBy over #sources² rows at most."""
-    pairs = minhash_neardup_pairs(documents, threshold, n_hashes, bands,
-                                  max_bucket)
+    the doc→source map and a groupBy over #sources² rows at most.
+
+    ``pairs`` — an already-verified (a, b) near-dup pair set to reuse.
+    In a real pipeline LSH + verify runs ONCE per batch and every
+    consumer (matrix, clusters, gate) reads the same materialized pair
+    table; pass it here so composite audits don't re-run LSH.  When
+    omitted the operator is self-contained and computes its own."""
+    if pairs is None:
+        pairs = minhash_neardup_pairs(documents, threshold, n_hashes, bands,
+                                      max_bucket)
     src = documents.select("doc_id", "source")
     lab = (
         pairs.join(src.withColumnRenamed("doc_id", "a")
@@ -195,7 +203,8 @@ def lsh_band_index(corpus: DataFrame, n_hashes: int = N_HASHES,
 def incremental_neardup(new_docs: DataFrame, corpus: DataFrame,
                         threshold: float = 0.8, n_hashes: int = N_HASHES,
                         bands: int = BANDS,
-                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+                        max_bucket: int = MAX_BUCKET,
+                        batch_pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, dup_of_corpus, dup_of_batch, keep) — the incremental
     ingest gate: each NEW document is checked against the existing
     corpus via :func:`lsh_band_index` (band-key probe + exact-Jaccard
@@ -210,7 +219,12 @@ def incremental_neardup(new_docs: DataFrame, corpus: DataFrame,
     corpus text.  Verifying against the bucket *representative* (not
     every member) is the same bounded-skew trade as the hot-bucket
     star-collapse: recall dips only when a bucket mixes families, and
-    a true template family shares every band with its representative."""
+    a true template family shares every band with its representative.
+
+    ``batch_pairs`` — an already-verified intra-batch (a, b) pair set
+    to reuse (same contract as :func:`source_dup_matrix`'s ``pairs``):
+    composites that also need the batch's pair set compute it once and
+    pass it to every consumer instead of re-running LSH here."""
     shs_new = doc_shingles(new_docs).localCheckpoint(eager=False)
     sig_new = shs_new.select("doc_id", *minhash_cols(n_hashes))
     cand = (
@@ -227,8 +241,11 @@ def incremental_neardup(new_docs: DataFrame, corpus: DataFrame,
         .where(_JACCARD() >= threshold)
     )
     corp = ver.groupBy("doc_id").agg(F.min("rep").alias("dup_of_corpus"))
+    if batch_pairs is None:
+        batch_pairs = minhash_neardup_pairs(new_docs, threshold, n_hashes,
+                                            bands, max_bucket)
     batchdup = (
-        minhash_neardup_pairs(new_docs, threshold, n_hashes, bands, max_bucket)
+        batch_pairs
         .groupBy(F.col("b").alias("doc_id"))
         .agg(F.min("a").alias("dup_of_batch"))
     )

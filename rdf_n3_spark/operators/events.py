@@ -214,8 +214,13 @@ def histogram_quantiles(events: DataFrame, width_cents: int = 100,
         F.greatest(F.floor(cents / width_cents).cast("bigint"), F.lit(0)),
         F.lit(bins - 1),
     )
+    # null/uncastable values are EXCLUDED, not binned: without the
+    # filter, floor(NULL)=NULL and greatest(NULL, 0)=0 (greatest skips
+    # NULLs) would count every null event at the bottom of the
+    # histogram and drag the low percentiles down
     hist = (
-        events.select("event_type", b.alias("bin"))
+        events.select("event_type", cents.alias("__c"), b.alias("bin"))
+        .where(F.col("__c").isNotNull())
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

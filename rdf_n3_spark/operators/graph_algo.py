@@ -105,7 +105,31 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3,
         rank'(n)   = 0.15·scale + (85·contrib(n)) div 100
     with every op on bigints — `div` is floor division, values are
     non-negative, and bigint sums are associative, so the result is
-    independent of evaluation order."""
+    independent of evaluation order.
+
+    AQE: the operator PINS ``spark.sql.adaptive.enabled=false`` for
+    its own internal actions (the eager checkpoints) and restores the
+    caller's setting on exit.  The single-exchange setup below depends
+    on the checkpoint carrying its hash partitioning, which an
+    AdaptiveSparkPlan checkpoint loses (UnknownPartitioning →
+    ENSURE_REQUIREMENTS re-exchanges the EDGE-sized table every
+    iteration).  AQE has nothing to offer inside this loop anyway —
+    partition counts are pre-sized, the joins are key-co-partitioned
+    by construction, and hub skew lands on the map-side-combinable agg
+    — so an AQE-on session (the batch-job default) now gets the same
+    pinned plan; tests/test_graph_algo.py::test_pagerank_aqe_session
+    certifies result equality + conf restoration under AQE-on."""
+    spark = edges.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_pinned(edges, iterations, scale)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _pagerank_pinned(edges: DataFrame, iterations: int,
+                     scale: int) -> DataFrame:
     # checkpoint the loop-invariant tables ONCE — each iteration's
     # eager checkpoint is an action, and without that the edge
     # distinct (and whatever upstream pipeline feeds it) would be

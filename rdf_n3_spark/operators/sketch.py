@@ -13,17 +13,29 @@ double division of two exactly-representable integers — a single IEEE
 operation rounds identically everywhere, so the sketch row is
 bit-identical across engines and partitionings (no ln, no float sums).
 
-Scale shape: bottom-k of a set is partition-independent, so ANY
-evaluation strategy yields the same rows. This implementation is
-distinct → per-group rank window → aggregate; a streaming/huge-key
-deployment holds fixed k-sized heaps in a partial aggregate instead,
-with identical output — which is why the DuckDB oracle can replay the
-math directly.
+Scale shape: bottom-k of a set is partition-independent and
+ASSOCIATIVE, so it is evaluated in two stages that never sort a hot
+key's full hash stream on one reducer:
+
+1. the ``distinct`` shuffle lands (key, h) pairs hash-partitioned;
+   a comparisons-only ``mapInPandas`` prune then keeps at most k
+   hashes per key PER PARTITION (any hash outside a partition's
+   bottom-k cannot be in the global bottom-k — lossless, and pruned
+   incrementally per Arrow batch so partition state stays
+   O(keys-in-partition × k));
+2. the final per-key merge aggregates ≤ partitions × k surviving rows
+   per key with ``array_sort`` + ``slice`` — never a rank window over
+   the distinct stream, so a key with 10⁹ distinct tokens costs each
+   reducer a ≤ parts×k array sort, not a 10⁹-row sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: 16^15 = 2^60: the hash-fraction denominator (first 15 md5 nibbles)
@@ -39,13 +51,28 @@ def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
     floor((k-1) · 2^60 / kth_int).
     """
     hashed = df.select(F.col(key), F.md5(value.cast("string")).alias("h")).distinct()
-    w = Window.partitionBy(key).orderBy("h")
-    topk = hashed.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
-    agg = topk.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.max("h").alias("max_h"),
+
+    def partial_bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = None
+        for pdf in batches:
+            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            # prune per batch: state stays O(|keys in partition| · k)
+            buf = (
+                buf.sort_values([key, "h"], kind="mergesort")
+                .groupby(key, sort=False).head(k)
+            )
+        if buf is not None:
+            yield buf
+
+    pruned = hashed.mapInPandas(partial_bottomk, schema=hashed.schema)
+    # ≤ partitions×k rows per key survive; bottom-k of the union of
+    # per-partition bottom-k's equals the global bottom-k
+    agg = pruned.groupBy(key).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
     )
-    kth_int = F.conv(F.substring("max_h", 1, 15), 16, 10).cast("bigint")
+    n_seen = F.size("hs").cast("bigint")
+    max_h = F.array_max("hs")  # the k-th smallest = max of the bottom-k
+    kth_int = F.conv(F.substring(max_h, 1, 15), 16, 10).cast("bigint")
     # (k-1)·2^60 is exact in double (≤ 6 significant bits · 2^60) and
     # kth_int < 2^60 is exact too: one division, one floor — bit-stable
     est = F.floor(
@@ -53,11 +80,9 @@ def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
     ).cast("bigint")
     return agg.select(
         key,
-        "n_seen",
-        F.when(F.col("n_seen") >= k, F.col("max_h")).alias("kth_hash"),
-        F.when(F.col("n_seen") < k, F.col("n_seen").cast("bigint"))
-        .otherwise(est)
-        .alias("est_distinct"),
+        n_seen.alias("n_seen"),
+        F.when(n_seen >= k, max_h).alias("kth_hash"),
+        F.when(n_seen < k, n_seen).otherwise(est).alias("est_distinct"),
     )
 
 

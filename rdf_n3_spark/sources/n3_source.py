@@ -61,12 +61,16 @@ def read_rdf(spark: SparkSession, path: str, base_uri: str = "") -> DataFrame:
     return parse_documents(docs)
 
 
-def parse_documents(docs: DataFrame) -> DataFrame:
+def parse_documents(docs: DataFrame, validate: bool = False,
+                    canonicalize: bool = False) -> DataFrame:
     """(doc_id, n3_text[, base_uri]) → quad rows.
 
     Parse failures don't kill the job (a 100 TB corpus always contains
     malformed documents): failed docs yield one row with ok=false and
-    the error message; downstream filters on ok.
+    the error message; downstream filters on ok.  ``validate`` /
+    ``canonicalize`` ride into the per-document parser (reader.rb's
+    option surface) — validate-mode rejections land on the SAME
+    ok=false fault-isolation path as grammar errors, never the job.
     """
     cols = docs.columns
 
@@ -82,7 +86,8 @@ def parse_documents(docs: DataFrame) -> DataFrame:
                 text = getattr(row, "n3_text") or ""
                 base = str(getattr(row, "base_uri", "") or "") if "base_uri" in cols else ""
                 try:
-                    quads = parse_n3(text, base_uri=base)
+                    quads = parse_n3(text, base_uri=base, validate=validate,
+                                     canonicalize=canonicalize)
                     for i, (s, p, o, g) in enumerate(quads):
                         out["doc_id"].append(doc_id)
                         out["pos"].append(i)

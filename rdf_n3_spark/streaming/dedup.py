@@ -47,10 +47,14 @@ def stream_neardup_gate(stream: DataFrame, corpus: DataFrame,
     join chain): the gate's verdict needs an intra-batch self-join and
     two left joins, which Structured Streaming cannot express as one
     incremental plan, while per-batch the BATCH operator — already
-    oracle-gated — runs unchanged.  Exactly-once follows the
-    :mod:`.ingest` discipline: the epoch id rides along as a lineage
-    column, and restarts replay an epoch idempotently (same batch ⇒
-    same verdict ⇒ overwrite-identical rows).
+    oracle-gated — runs unchanged.  Exactly-once: the sink is
+    partitioned by the epoch id and written with DYNAMIC partition
+    overwrite, so a crash between the parquet write and the streaming
+    checkpoint commit replays the epoch onto ITS OWN partition —
+    overwriting the half-written output rather than appending a second
+    copy (same batch ⇒ same verdict ⇒ identical partition contents).
+    Other epochs' partitions are untouched (dynamic mode overwrites
+    only partitions present in the write).
 
     Scale: per micro-batch work is index-sized + batch-sized (the
     whole point of the one-row-per-band-key index); the corpus tables
@@ -64,7 +68,10 @@ def stream_neardup_gate(stream: DataFrame, corpus: DataFrame,
             batch_df.join(verdict.where(F.col("keep") == 1).select("doc_id"),
                           "doc_id")
             .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append").parquet(out_dir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
         )
 
     return (

@@ -140,9 +140,13 @@ def windowed_value_histogram(
         F.greatest(F.floor(cents / width_cents).cast("bigint"), F.lit(0)),
         F.lit(bins - 1),
     )
+    # null-valued events are excluded, matching the batch sketch (see
+    # events.histogram_quantiles: greatest(NULL, 0)=0 would otherwise
+    # bin them at the bottom)
     return (
         events.withWatermark("ts", watermark)
-        .select("ts", "event_type", b.alias("bin"))
+        .select("ts", "event_type", cents.alias("__c"), b.alias("bin"))
+        .where(F.col("__c").isNotNull())
         .groupBy(F.window("ts", window).alias("w"), "event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

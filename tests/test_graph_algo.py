@@ -93,6 +93,38 @@ def test_pagerank_setup_single_edge_exchange(spark):
             conf.set(k, v)
 
 
+def test_pagerank_aqe_session(spark, monkeypatch):
+    """AQE-on session (the spark-submit batch-job default): the
+    operator pins AQE off for its internal actions — so the
+    single-exchange setup shape of the test above holds for EVERY
+    caller, not just AQE-off benches — and restores the caller's
+    setting afterward, with results identical to the AQE-off run."""
+    import rdf_n3_spark.operators.graph_algo as ga
+
+    el = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    captured = {}
+    orig = ga._pagerank_pinned
+
+    def spy(edges, iterations, scale):
+        captured["aqe_inside"] = spark.conf.get("spark.sql.adaptive.enabled")
+        return orig(edges, iterations, scale)
+
+    monkeypatch.setattr(ga, "_pagerank_pinned", spy)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        got = {r["node_id"]: r["rank_ppb"]
+               for r in pagerank_quantized(_edges(spark, el),
+                                           iterations=3).collect()}
+        # pinned off while the internal eager checkpoints executed…
+        assert captured["aqe_inside"] == "false"
+        # …restored for the caller before the function returned
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert got == _hand_pagerank(el, 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
 def test_pagerank_is_partitioning_independent(spark):
     el = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60)]
     df = _edges(spark, el)

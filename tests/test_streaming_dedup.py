@@ -94,3 +94,31 @@ def test_stream_neardup_gate_matches_batch_verdict(spark, tmp_path):
             spark.read.parquet(src), corpus).collect() if r["keep"] == 1
     }
     assert kept == batch_verdict == {101}
+
+
+def test_stream_neardup_gate_epoch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract (ADVICE r3): a replayed epoch overwrites
+    its own partition (dynamic partition overwrite on the epoch
+    column) instead of appending a second copy — simulated by wiping
+    the streaming checkpoint and re-running the same input, which
+    replays epoch 0 onto an output directory that already contains it."""
+    from rdf_n3_spark.streaming.dedup import stream_neardup_gate
+
+    corpus = spark.createDataFrame(
+        [(1, "unrelated corpus content " * 8)], ["doc_id", "text"])
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(100, " ".join(f"z{i}" for i in range(40)))],
+        ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "kept")
+
+    for attempt in range(2):
+        # fresh checkpoint each attempt = the post-crash replay of the
+        # same epoch id against a sink that may already hold its rows
+        ck = str(tmp_path / f"ck{attempt}")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_neardup_gate(stream, corpus, out, ck).start()
+        q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert [(r.doc_id, r.epoch) for r in rows] == [(100, 0)]
