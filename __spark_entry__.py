@@ -871,16 +871,18 @@ def _q_kcore(spark, sf_dir):
         cooccurrence_edges(m, group="conv_id", node="norm"), k=3, rounds=3)
 
 
-def _q_triangles(spark, sf_dir):
+def _q_triangles(spark, sf_dir, max_degree=None):
     """Per-node triangle participation over the co-mention graph,
-    degree-ordered orientation (each triangle enumerated once)."""
+    degree-ordered orientation (each triangle enumerated once);
+    ``max_degree`` = the celebrity cap (exact hub-removed subgraph)."""
     from rdf_n3_spark.operators.graph_algo import (
         cooccurrence_edges,
         triangle_counts,
     )
 
     m = extract_mentions(transcripts(spark, sf_dir))
-    return triangle_counts(cooccurrence_edges(m, group="conv_id", node="norm"))
+    return triangle_counts(cooccurrence_edges(m, group="conv_id", node="norm"),
+                           max_degree=max_degree)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -892,6 +894,30 @@ def _q_pagerank(spark, sf_dir):
     edges = graph_edges(_all_triples(spark, sf_dir)).select(
         F.col("s").alias("src"), F.col("o").alias("dst"))
     return pagerank_quantized(edges, iterations=3)
+
+
+def _q_kmv_merged(spark, sf_dir):
+    """Two half-corpus sketches (doc_id parity split) merged then
+    finished — exercises the persist/merge/estimate split; result must
+    equal sketching the whole corpus (the oracle runs the direct
+    whole-corpus query), proving mergeability end-to-end."""
+    from rdf_n3_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    def toks(df):
+        return df.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+
+    a = kmv_sketch(toks(docs.where(F.col("doc_id") % 2 == 0)),
+                   "source", F.col("tok"))
+    b = kmv_sketch(toks(docs.where(F.col("doc_id") % 2 == 1)),
+                   "source", F.col("tok"))
+    return kmv_estimate(kmv_merge(a, b, "source"), "source")
 
 
 def _q_events_asof(spark, sf_dir):
@@ -1181,6 +1207,8 @@ def _q_frame_sample(spark, sf_dir):
 # pins the invariant; queries added in FUTURE rounds go at the head of
 # this list (displacing sentinels, never the uncertified block).
 _DRIVER_WINDOW = [
+    # round-4 additions (newest first, per the rotation contract)
+    "triangle_counts_capped", "kmv_merged",
     # 41 never-driver-certified (rounds 2-3 pipeline operators)
     "text_stats", "text_quality", "lang_id", "doc_fingerprint",
     "text_redact", "text_repetition", "decontaminate", "pack_sequences",
@@ -1195,8 +1223,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental", "embed_kmeans", "semdedup_prune", "cluster_sample",
     # §2 sentinels + north-rule representatives (all green in r1-r3)
     "n3_parse_udf", "n3_write_udf", "rule_closure", "graph_includes",
-    "builtin_math", "transcripts_build", "entity_canon", "graph_nodes",
-    "dedup_minhash",
+    "builtin_math", "transcripts_build", "entity_canon",
 ]
 
 
@@ -1274,6 +1301,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
         "search_topk": _q_search,
         "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
+        "kmv_merged": _q_kmv_merged,
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
@@ -1295,6 +1323,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).where(F.col("doc_id") < 50).select(
                     (F.col("doc_id") + 10000).alias("doc_id"), "text"))),
         "triangle_counts": _q_triangles,
+        # celebrity cap 400 excludes the sf-graph's ~100-node dense
+        # core (sf0.01: max degree 1552 vs median 164) — the result is
+        # exactly the hub-removed subgraph's counts
+        "triangle_counts_capped": lambda s, d: _q_triangles(
+            s, d, max_degree=400),
         "events_asof": _q_events_asof,
         "event_rollup": lambda s, d: event_rollup(
             s.read.parquet(f"{d}/events.parquet"), unit="hour"),
@@ -1383,6 +1416,84 @@ def _pagerank_oracle(iters: int = 3) -> str:
                  CAST(150000000 + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS rank
           FROM nodes n LEFT JOIN c{i} c USING (node))"""
     return sql + f"\n        SELECT node AS node_id, rank AS rank_ppb FROM r{iters}"
+
+
+# mirrors operators.sketch: bottom-k md5 per source, estimate = ONE
+# double division of exactly-representable ints ((k-1)·2^60 / kth) —
+# IEEE-identical across engines; shared by kmv_distinct AND kmv_merged
+# (merging two half-corpus sketches equals sketching the whole corpus)
+_KMV_SQL = """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT DISTINCT source, md5(tok) AS h FROM toks),
+    r AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM h
+    ),
+    tk AS (
+      SELECT source, count(*) AS n_seen, max(h) AS max_h
+      FROM r WHERE rk <= 64 GROUP BY source
+    )
+    SELECT source, n_seen,
+           CASE WHEN n_seen >= 64 THEN max_h END AS kth_hash,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS BIGINT)
+                ELSE CAST(floor(
+                  63.0 * 1152921504606846976.0
+                  / CAST('0x' || substr(max_h, 1, 15) AS BIGINT)
+                ) AS BIGINT)
+           END AS est_distinct
+    FROM tk
+"""
+
+
+def _triangles_oracle(cap: int | None = None) -> str:
+    """Mirror of graph_algo.triangle_counts: degree-ordered orientation
+    → wedge join → closure, corners exploded.  ``cap`` mirrors the
+    celebrity max_degree knob — nodes above it are removed before
+    orientation and degrees are recomputed on the surviving subgraph,
+    exactly like the Spark operator."""
+    capped = "" if cap is None else f""",
+            keep AS (SELECT n FROM degs WHERE d <= {cap}),
+            eg_capped AS (
+              SELECT u, v FROM eg
+              WHERE u IN (SELECT n FROM keep) AND v IN (SELECT n FROM keep)),
+            degs_capped AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT u AS n FROM eg_capped
+                    UNION ALL SELECT v AS n FROM eg_capped)
+              GROUP BY n)"""
+    eg, degs = ("eg_capped", "degs_capped") if cap is not None else ("eg", "degs")
+    return f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            eg AS (SELECT a.n AS u, b.n AS v
+                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                   GROUP BY a.n, b.n),
+            degs AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT u AS n FROM eg UNION ALL SELECT v AS n FROM eg)
+              GROUP BY n){capped},
+            oriented AS (
+              SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                          THEN e.u ELSE e.v END AS s,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                          THEN e.v ELSE e.u END AS t
+              FROM {eg} e JOIN {degs} du ON du.n = e.u
+                          JOIN {degs} dv ON dv.n = e.v),
+            tri AS (
+              SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM oriented e1
+              JOIN oriented e2 ON e2.s = e1.t
+              JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b AS node FROM tri
+                  UNION ALL SELECT c AS node FROM tri)
+            GROUP BY node
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2283,33 +2394,8 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         """,
         # mirrors graph_algo.triangle_counts: degree-ordered
         # orientation → wedge join → closure; explode corners
-        "triangle_counts": f"""
-            {_MENTIONS},
-            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
-            eg AS (SELECT a.n AS u, b.n AS v
-                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
-                   GROUP BY a.n, b.n),
-            degs AS (
-              SELECT n, CAST(count(*) AS BIGINT) AS d
-              FROM (SELECT u AS n FROM eg UNION ALL SELECT v AS n FROM eg)
-              GROUP BY n),
-            oriented AS (
-              SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
-                          THEN e.u ELSE e.v END AS s,
-                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
-                          THEN e.v ELSE e.u END AS t
-              FROM eg e JOIN degs du ON du.n = e.u JOIN degs dv ON dv.n = e.v),
-            tri AS (
-              SELECT e1.s AS a, e1.t AS b, e2.t AS c
-              FROM oriented e1
-              JOIN oriented e2 ON e2.s = e1.t
-              JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t)
-            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-            FROM (SELECT a AS node FROM tri
-                  UNION ALL SELECT b AS node FROM tri
-                  UNION ALL SELECT c AS node FROM tri)
-            GROUP BY node
-        """,
+        "triangle_counts": _triangles_oracle(),
+        "triangle_counts_capped": _triangles_oracle(cap=400),
         "events_asof": """
             WITH sig AS (
               SELECT user_id, ts, event_id, value FROM (
@@ -2755,31 +2841,12 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # mirrors operators.sketch.kmv_distinct_tokens: bottom-k md5,
         # estimate = ONE double division of exactly-representable ints
         # (63·2^60 and kth_int < 2^60) — IEEE-identical across engines
-        "kmv_distinct": """
-            WITH toks AS (
-              SELECT source, unnest(string_split(lower(text), ' ')) AS tok
-              FROM documents
-            ),
-            h AS (SELECT DISTINCT source, md5(tok) AS h FROM toks),
-            r AS (
-              SELECT source, h,
-                     row_number() OVER (PARTITION BY source ORDER BY h) AS rk
-              FROM h
-            ),
-            tk AS (
-              SELECT source, count(*) AS n_seen, max(h) AS max_h
-              FROM r WHERE rk <= 64 GROUP BY source
-            )
-            SELECT source, n_seen,
-                   CASE WHEN n_seen >= 64 THEN max_h END AS kth_hash,
-                   CASE WHEN n_seen < 64 THEN CAST(n_seen AS BIGINT)
-                        ELSE CAST(floor(
-                          63.0 * 1152921504606846976.0
-                          / CAST('0x' || substr(max_h, 1, 15) AS BIGINT)
-                        ) AS BIGINT)
-                   END AS est_distinct
-            FROM tk
-        """,
+        "kmv_distinct": _KMV_SQL,
+        # the MERGED two-half sketch must estimate identically to the
+        # whole-corpus sketch (bottom-k(bottom-kA ∪ bottom-kB) =
+        # bottom-k(A ∪ B)) — the oracle IS the direct whole-corpus
+        # query, so a green row proves the merge property end-to-end
+        "kmv_merged": _KMV_SQL,
         "doc_fingerprint": """
             WITH sh AS (
               SELECT doc_id,

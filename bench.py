@@ -164,9 +164,16 @@ def main() -> None:
             key="user_id", ts="ts", right_cols=("event_id", "value"),
         ).drop("ts")
     )
+    # weight ≥ 3: the curation noise floor (entities co-occurring in
+    # <3 conversations are incidental).  The UNFILTERED sf0.1 hub graph
+    # is a ~1000-node quasi-clique whose exact triangle OUTPUT costs
+    # ~190 s regardless of algorithm (measured; BENCH/BASELINE.md) —
+    # an output-size fact, not a plan defect; the operator's
+    # max_degree celebrity cap is the documented mitigation.
     m1 = extract_mentions(mk_transcripts(spark, sf_dir, mult=1))
     tri = sink(triangle_counts(
-        cooccurrence_edges(m1, group="conv_id", node="norm")))
+        cooccurrence_edges(m1, group="conv_id", node="norm")
+        .where(F.col("weight") >= 3)))
 
     # iterative-path evidence row: PageRank over the UNREPLICATED
     # sf-dir entity graph (mult-independent like the other evidence
@@ -191,18 +198,24 @@ def main() -> None:
         agg = min if stat == "min" else statistics.median
         return round(agg(run() for _ in range(runs)), 4)
 
-    per_query = {
-        "kg_pipeline": timed_runs(kg, runs, stat),
-        "n3_parse_udf": timed_runs(parse, runs, stat),
-        "entity_canon": timed_runs(canon, runs, stat),
-        "dedup_minhash": timed_runs(minhash, runs, stat),
-        "ann_ivf_multiprobe": timed_runs(ann, runs, stat),
-        "graph_pagerank": timed_pagerank(),
-        "substring_spans": timed_runs(substr, runs, stat),
-        "events_asof": timed_runs(asof, runs, stat),
-        "keyword_topk": timed_runs(kw, runs, stat),
-        "triangle_counts": timed_runs(tri, runs, stat),
+    # BENCH_QUERIES: comma-separated subset to time (default: all).
+    # bench_scaling.py restricts to the headline trio so the scaling
+    # rounds don't pay for every evidence row.
+    thunks = {
+        "kg_pipeline": lambda: timed_runs(kg, runs, stat),
+        "n3_parse_udf": lambda: timed_runs(parse, runs, stat),
+        "entity_canon": lambda: timed_runs(canon, runs, stat),
+        "dedup_minhash": lambda: timed_runs(minhash, runs, stat),
+        "ann_ivf_multiprobe": lambda: timed_runs(ann, runs, stat),
+        "graph_pagerank": timed_pagerank,
+        "substring_spans": lambda: timed_runs(substr, runs, stat),
+        "events_asof": lambda: timed_runs(asof, runs, stat),
+        "keyword_topk": lambda: timed_runs(kw, runs, stat),
+        "triangle_counts": lambda: timed_runs(tri, runs, stat),
     }
+    subset = os.environ.get("BENCH_QUERIES", "")
+    names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
+    per_query = {n: thunks[n]() for n in names}
     total = sum(per_query.values())
     turns_per_sec = round(n_turns / per_query["kg_pipeline"], 1)
 

@@ -49,7 +49,8 @@ ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
 
 def run_level(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
-               BENCH_RUNS="2", SPARK_GRAFT_MULT=MULT, BENCH_STAT="min")
+               BENCH_RUNS="2", SPARK_GRAFT_MULT=MULT, BENCH_STAT="min",
+               BENCH_QUERIES="kg_pipeline,n3_parse_udf,entity_canon")
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -93,7 +94,8 @@ def main() -> None:
     try:
         with open("BENCH/BASELINE.md") as f:
             old = f.read()
-        for marker in ("\n## entity_canon pointer-jump A/B",):
+        for marker in ("\n## BENCH_r03 regression A/B",
+                       "\n## entity_canon pointer-jump A/B"):
             i = old.find(marker)
             if i >= 0:
                 appendix += old[i:]

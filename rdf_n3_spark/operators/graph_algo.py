@@ -45,7 +45,8 @@ def cooccurrence_edges(df: DataFrame, group: str, node: str) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame,
+                    max_degree: int | None = None) -> DataFrame:
     """(node, n_triangles) — triangles each node participates in, over
     an undirected edge set given as canonical (u, v) with u < v.
 
@@ -54,14 +55,40 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     to the larger, enumerate wedges src→mid→far, and close them
     against the oriented edge (src, far).  The orientation is acyclic
     and total, so each triangle is enumerated EXACTLY once, and the
-    oriented out-degree is O(√m) even for celebrity nodes — the wedge
-    join that explodes on raw hub degree stays bounded at 100 TB.
-    Both joins are equi-joins on node keys (AQE skew-split eligible)."""
+    oriented out-degree is O(√m) even for celebrity nodes.
+    Both joins are equi-joins on node keys (AQE skew-split eligible).
+
+    ``max_degree`` — the celebrity cap.  O(√m) bounds the WEDGE count
+    at O(m^1.5), but on a dense co-mention graph (a hub entity sharing
+    conversations with everything, popular entities forming a
+    quasi-clique) the triangle OUTPUT itself is the quadratic term: no
+    exact algorithm beats enumerating it (measured: the sf0.1 hub
+    graph — 21k nodes / 3.7M edges / ~1000-node dense core — costs
+    ~190 s where the capped run costs seconds).  With a cap, nodes of
+    degree > ``max_degree`` are excluded BEFORE orientation and the
+    result is the exact per-node triangle count of the remaining
+    subgraph — the curation-relevant answer, since a celebrity node's
+    triangle membership measures its hubness, not local community
+    density, and downstream density scoring treats capped nodes as
+    flagged outliers.  None (default) = exact over the full graph."""
     e = edges.select("u", "v").distinct()
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select("v"))
         .groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
+    if max_degree is not None:
+        keep = deg.where(F.col("d") <= max_degree).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "semi")
+            .select("u", "v")
+        )
+        # degrees of the REMAINING subgraph (orientation stays optimal
+        # for the edges actually enumerated)
+        deg = (
+            e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+            .groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
     du, dv = deg.alias("du"), deg.alias("dv")
     # orient by (degree, id): lower endpoint → higher endpoint
     oriented = (

@@ -42,14 +42,13 @@ from pyspark.sql import functions as F
 _DENOM = 16 ** 15
 
 
-def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
-    """(key, n_seen, kth_hash, est_distinct) per group.
+def kmv_sketch(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
+    """(key, hs) — the MERGEABLE sketch state: the ≤ k smallest md5
+    hex strings of the group's distinct values, sorted ascending.
 
-    ``n_seen`` = min(k, distinct values) — the number of sketch slots
-    filled; ``kth_hash`` = the k-th smallest md5 (null when the count
-    is exact); ``est_distinct`` = exact count below k, else
-    floor((k-1) · 2^60 / kth_int).
-    """
+    This is the table a production rollup PERSISTS (one array row per
+    key per day/shard); :func:`kmv_merge` folds such tables, and
+    :func:`kmv_estimate` finishes any of them into counts."""
     hashed = df.select(F.col(key), F.md5(value.cast("string")).alias("h")).distinct()
 
     def partial_bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,9 +66,36 @@ def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
     pruned = hashed.mapInPandas(partial_bottomk, schema=hashed.schema)
     # ≤ partitions×k rows per key survive; bottom-k of the union of
     # per-partition bottom-k's equals the global bottom-k
-    agg = pruned.groupBy(key).agg(
+    return pruned.groupBy(key).agg(
         F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
     )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """(key, hs) — fold two sketch tables into one.
+
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B) exactly (any
+    hash outside a side's bottom-k is outside the union's), so merged
+    estimates are IDENTICAL to sketching the union — the property that
+    makes daily sketches roll up into monthly ones without re-reading
+    the data.  ``array_distinct`` drops hashes the two sides share.
+    Full-outer union semantics: a key present on one side only keeps
+    its sketch."""
+    u = a.select(key, "hs").unionByName(b.select(key, "hs"))
+    return u.groupBy(key).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))),
+            1, k,
+        ).alias("hs")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """(key, n_seen, kth_hash, est_distinct) — finish a sketch table.
+
+    ``n_seen`` = min(k, distinct values); ``kth_hash`` = the k-th
+    smallest md5 (null when the count is exact); ``est_distinct`` =
+    exact count below k, else floor((k-1) · 2^60 / kth_int)."""
     n_seen = F.size("hs").cast("bigint")
     max_h = F.array_max("hs")  # the k-th smallest = max of the bottom-k
     kth_int = F.conv(F.substring(max_h, 1, 15), 16, 10).cast("bigint")
@@ -78,12 +104,19 @@ def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
     est = F.floor(
         (F.lit(float(k - 1)) * F.lit(float(_DENOM))) / kth_int.cast("double")
     ).cast("bigint")
-    return agg.select(
+    return sketch.select(
         key,
         n_seen.alias("n_seen"),
         F.when(n_seen >= k, max_h).alias("kth_hash"),
         F.when(n_seen < k, n_seen).otherwise(est).alias("est_distinct"),
     )
+
+
+def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
+    """(key, n_seen, kth_hash, est_distinct) per group — sketch +
+    finish in one call (see :func:`kmv_sketch` / :func:`kmv_estimate`
+    for the persisted/mergeable split)."""
+    return kmv_estimate(kmv_sketch(df, key, value, k=k), key, k=k)
 
 
 def kmv_distinct_tokens(documents: DataFrame, k: int = 64) -> DataFrame:

@@ -187,6 +187,36 @@ def test_triangle_counts_hub_fan(spark):
     assert sum(rows.values()) == 27  # 9 triangles x 3 corners
 
 
+def test_triangle_degree_cap_matches_exact_below_cap(spark):
+    """max_degree higher than every node's degree = the exact count."""
+    from rdf_n3_spark.operators.graph_algo import triangle_counts
+
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    exact = sorted(map(tuple, triangle_counts(
+        _tri_edges(spark, pairs)).collect()))
+    capped = sorted(map(tuple, triangle_counts(
+        _tri_edges(spark, pairs), max_degree=10).collect()))
+    assert capped == exact
+
+
+def test_triangle_degree_cap_excludes_celebrity_subgraph_exactly(spark):
+    """Capped counts equal the exact counts of the graph with the
+    celebrity REMOVED — the subgraph semantics the docstring promises
+    (hub h: degree 10 > cap; spokes keep their spoke-spoke triangles)."""
+    from rdf_n3_spark.operators.graph_algo import triangle_counts
+
+    hub = [tuple(sorted(("h", f"s{i}"))) for i in range(10)]
+    ring = [tuple(sorted((f"s{i}", f"s{(i + 1) % 10}"))) for i in range(10)]
+    chords = [tuple(sorted((f"s{i}", f"s{(i + 2) % 10}"))) for i in range(10)]
+    capped = sorted(map(tuple, triangle_counts(
+        _tri_edges(spark, hub + ring + chords), max_degree=6).collect()))
+    no_hub = sorted(map(tuple, triangle_counts(
+        _tri_edges(spark, ring + chords)).collect()))
+    assert capped == no_hub
+    assert not any(n == "h" for n, _ in capped)
+
+
 def test_kcore_clique_survives_chain_peels(spark):
     """4-clique (all degrees 3) survives k=3; an attached chain peels
     away — including the attachment point once its chain neighbor

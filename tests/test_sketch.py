@@ -48,6 +48,45 @@ def test_partition_independent(spark):
     assert ra == rb
 
 
+def test_merge_equals_direct_sketch(spark):
+    """bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B): merging
+    two shard sketches (overlapping values included) finishes to the
+    same row as sketching the union directly — the daily→monthly
+    rollup property."""
+    from rdf_n3_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a_rows = [("g", f"x{i}") for i in range(120)] + [("only_a", "v")]
+    b_rows = [("g", f"x{i}") for i in range(80, 250)] + [("only_b", "w")]
+    a = spark.createDataFrame(a_rows, ["key", "val"])
+    b = spark.createDataFrame(b_rows, ["key", "val"])
+    merged = kmv_estimate(
+        kmv_merge(kmv_sketch(a, "key", F.col("val"), k=32),
+                  kmv_sketch(b, "key", F.col("val"), k=32), "key", k=32),
+        "key", k=32)
+    direct = kmv_distinct(a.unionByName(b), "key", F.col("val"), k=32)
+    assert _rows(merged) == _rows(direct)
+
+
+def test_no_per_key_rank_window_in_plan(spark):
+    """Scale-shape audit (VERDICT r3 item 3): the per-key bottom-k must
+    NOT be a rank window over the full distinct hash stream — a hot key
+    would funnel 10⁹ rows through one reducer's sort.  The plan is
+    distinct → per-partition mapInPandas prune → bounded collect/sort
+    merge: no Window operator anywhere, and no Sort other than inside
+    the tiny array_sort expression (which never appears as a plan node)."""
+    df = spark.createDataFrame([("g", f"x{i}") for i in range(100)],
+                               ["key", "val"])
+    out = kmv_distinct(df, "key", F.col("val"), k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_duplicates_do_not_inflate(spark):
     base = [("g", f"x{i}") for i in range(300)]
     df1 = spark.createDataFrame(base, ["key", "val"])
