@@ -76,7 +76,7 @@ from rdf_n3_spark.operators.dedup import (
     source_dup_matrix,
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
-from rdf_n3_spark.operators.sketch import kmv_distinct_tokens
+from rdf_n3_spark.operators.sketch import cms_token_freq, kmv_distinct_tokens
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.multimodal import (
     extract_features,
@@ -920,6 +920,28 @@ def _q_kmv_merged(spark, sf_dir):
     return kmv_estimate(kmv_merge(a, b, "source"), "source")
 
 
+def _q_cms_merged(spark, sf_dir):
+    """Two half-corpus count-min sketches (doc_id parity split) merged
+    then probed — the fold is an exact counter sum, so the oracle IS
+    the direct whole-corpus query: a hash-mismatch here would mean the
+    daily→monthly rollup property is broken."""
+    from rdf_n3_spark.operators.sketch import cms_lookup, cms_merge, cms_sketch
+
+    docs = _docs(spark, sf_dir)
+
+    def toks(df):
+        return df.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+
+    a = cms_sketch(toks(docs.where(F.col("doc_id") % 2 == 0)), F.col("tok"))
+    b = cms_sketch(toks(docs.where(F.col("doc_id") % 2 == 1)), F.col("tok"))
+    probes = toks(docs.where(F.col("doc_id") < 3))
+    return (
+        cms_lookup(cms_merge(a, b), probes, F.col("tok"))
+        .withColumnRenamed("v", "tok")
+    )
+
+
 def _q_events_asof(spark, sf_dir):
     """As-of attribution: each purchase event attached to the user's
     most recent (ts ≤ purchase ts) signup event — the union-tag
@@ -1206,10 +1228,15 @@ def _q_frame_sample(spark, sf_dir):
 # tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant; queries added in FUTURE rounds go at the head of
 # this list (displacing sentinels, never the uncertified block).
-_DRIVER_WINDOW = [
-    # round-4 additions (newest first, per the rotation contract)
+# round-N additions, newest first (the rotation contract: new queries
+# enter here, displacing tail sentinels, never the uncertified block)
+_ROUND_NEW = [
+    "cms_freq", "cms_merged",
     "triangle_counts_capped", "kmv_merged",
-    # 41 never-driver-certified (rounds 2-3 pipeline operators)
+]
+
+#: the 41 operators with no driver CORRECTNESS row through round 3
+_NEVER_CERTIFIED = [
     "text_stats", "text_quality", "lang_id", "doc_fingerprint",
     "text_redact", "text_repetition", "decontaminate", "pack_sequences",
     "curate_corpus", "corpus_split", "doc_chunks", "chunk_dedup",
@@ -1221,10 +1248,17 @@ _DRIVER_WINDOW = [
     "event_histogram_quantiles", "boilerplate_ngrams", "boilerplate_share",
     "substring_spans", "substring_dedup", "dedup_source_matrix",
     "dedup_incremental", "embed_kmeans", "semdedup_prune", "cluster_sample",
-    # §2 sentinels + north-rule representatives (all green in r1-r3)
-    "n3_parse_udf", "n3_write_udf", "rule_closure", "graph_includes",
-    "builtin_math", "transcripts_build", "entity_canon",
 ]
+
+#: §2 sentinels + north-rule representatives (all green in r1-r3),
+#: priority order: truncated from the tail as _ROUND_NEW grows so the
+#: window stays exactly 50
+_SENTINELS = [
+    "n3_parse_udf", "rule_closure", "graph_includes", "builtin_math",
+    "transcripts_build", "n3_write_udf", "entity_canon",
+]
+
+_DRIVER_WINDOW = (_ROUND_NEW + _NEVER_CERTIFIED + _SENTINELS)[:50]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1302,6 +1336,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk": _q_search,
         "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
         "kmv_merged": _q_kmv_merged,
+        "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
+        "cms_merged": _q_cms_merged,
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
@@ -1422,6 +1458,42 @@ def _pagerank_oracle(iters: int = 3) -> str:
 # double division of exactly-representable ints ((k-1)·2^60 / kth) —
 # IEEE-identical across engines; shared by kmv_distinct AND kmv_merged
 # (merging two half-corpus sketches equals sketching the whole corpus)
+# mirrors operators.sketch count-min: row-d cell of tok =
+# md5("d:tok") nibbles 1-15 as bigint mod 8192; estimate = min over
+# the 4 rows — integer-exact in both engines; shared by cms_freq AND
+# cms_merged (an elementwise-sum merge of two half-corpus sketches
+# answers probes identically to the whole-corpus sketch)
+_CMS_SQL = """
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT d,
+             CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 15)
+                  AS BIGINT) % 8192 AS col,
+             count(*) AS cnt
+      FROM toks CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT tok FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE doc_id < 3
+      )
+    ),
+    pcells AS (
+      SELECT p.tok, ds.d,
+             CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || p.tok), 1, 15)
+                  AS BIGINT) % 8192 AS col
+      FROM probes p CROSS JOIN ds
+    )
+    SELECT pc.tok AS tok,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM pcells pc LEFT JOIN cells c USING (d, col)
+    GROUP BY pc.tok
+"""
+
 _KMV_SQL = """
     WITH toks AS (
       SELECT source, unnest(string_split(lower(text), ' ')) AS tok
@@ -2847,6 +2919,14 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # bottom-k(A ∪ B)) — the oracle IS the direct whole-corpus
         # query, so a green row proves the merge property end-to-end
         "kmv_merged": _KMV_SQL,
+        # mirrors operators.sketch.cms_token_freq: depth×width counter
+        # table from md5("d:tok") cells, probe = min over depth rows —
+        # all bigint-exact, so the row hashes match bit-for-bit
+        "cms_freq": _CMS_SQL,
+        # the MERGED two-half sketch is an elementwise counter sum, so
+        # it must answer probes identically to the whole-corpus sketch
+        # — the oracle IS the direct whole-corpus query
+        "cms_merged": _CMS_SQL,
         "doc_fingerprint": """
             WITH sh AS (
               SELECT doc_id,

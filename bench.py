@@ -70,8 +70,15 @@ def prepare_input(spark, sf_dir: str, mult: int, files: int = 32) -> str:
     return path
 
 
-def timed_runs(q, runs: int, stat: str) -> float:
-    """Warm once, then time ``runs`` full recomputes of the built plan."""
+def timed_runs(q, runs: int, stat: str) -> tuple[float, float]:
+    """Warm once, then time ``runs`` full recomputes of the built plan.
+
+    Returns (chosen-stat, min).  The min rides along in the JSON as
+    ``queries_min`` because this host's documented interference mode is
+    one-sided 2-4× slowdown windows: when a round's median regresses
+    with no explaining commit, its own min is the in-artifact evidence
+    distinguishing noise from a real plan change (BENCH/BASELINE.md,
+    "BENCH_r03 regression A/B")."""
     q.collect()  # warm: JIT, codegen cache, parquet footers
     times = []
     for i in range(runs):
@@ -79,7 +86,7 @@ def timed_runs(q, runs: int, stat: str) -> float:
         q.where(F.lit(i) >= 0).collect()  # new QueryExecution → no stage reuse
         times.append(time.perf_counter() - t0)
     agg = min if stat == "min" else statistics.median
-    return round(agg(times), 4)
+    return round(agg(times), 4), round(min(times), 4)
 
 
 def main() -> None:
@@ -189,14 +196,15 @@ def main() -> None:
         .localCheckpoint()
     )
 
-    def timed_pagerank() -> float:
+    def timed_pagerank() -> tuple[float, float]:
         def run():
             t0 = time.perf_counter()
             sink(pagerank_quantized(edges, iterations=3)).collect()
             return time.perf_counter() - t0
         run()  # warm
+        times = [run() for _ in range(runs)]
         agg = min if stat == "min" else statistics.median
-        return round(agg(run() for _ in range(runs)), 4)
+        return round(agg(times), 4), round(min(times), 4)
 
     # BENCH_QUERIES: comma-separated subset to time (default: all).
     # bench_scaling.py restricts to the headline trio so the scaling
@@ -215,7 +223,9 @@ def main() -> None:
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
-    per_query = {n: thunks[n]() for n in names}
+    timed = {n: thunks[n]() for n in names}
+    per_query = {n: v[0] for n, v in timed.items()}
+    per_query_min = {n: v[1] for n, v in timed.items()}
     total = sum(per_query.values())
     turns_per_sec = round(n_turns / per_query["kg_pipeline"], 1)
 
@@ -224,6 +234,10 @@ def main() -> None:
         "value": turns_per_sec,
         "unit": "turns/sec",
         "queries": per_query,
+        # one-sided-noise diagnostics: per-query min of the same runs
+        # (and the headline recomputed at the min) — see timed_runs
+        "queries_min": per_query_min,
+        "value_at_min": round(n_turns / per_query_min["kg_pipeline"], 1),
         "sf": sf_dir,
         "cpus": cpus,
         "turns": n_turns,

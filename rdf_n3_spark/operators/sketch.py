@@ -1,4 +1,6 @@
-"""KMV (k-minimum-values) distinct-count sketch.
+"""Mergeable cardinality / frequency sketches (KMV, count-min).
+
+KMV (k-minimum-values) distinct-count sketch.
 
 The classic bottom-k estimator (Bar-Yossef et al. 2002; Beyer et al.
 SIGMOD'07): hash every value uniformly into [0, 1); keep the k smallest
@@ -117,6 +119,113 @@ def kmv_distinct(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
     finish in one call (see :func:`kmv_sketch` / :func:`kmv_estimate`
     for the persisted/mergeable split)."""
     return kmv_estimate(kmv_sketch(df, key, value, k=k), key, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): the frequency-side
+# twin of KMV.  depth independent hash rows × width counters; a value's
+# estimated count = min over rows of its counter — ALWAYS an upper
+# bound on the true count (its own occurrences all land in the probed
+# cells; collisions only add).  Expected overestimate ≤ e·N/width per
+# row, and the min over depth rows makes a bad collision in every row
+# exponentially unlikely.
+#
+# Engine portability, as with KMV: row-d's hash of value v is
+# md5("d:v"), first 15 hex nibbles as a bigint, modulo width — pure
+# integer ops that both Spark and DuckDB compute identically, so the
+# sketch TABLE (not just the estimates) is bit-identical across
+# engines and partitionings.
+#
+# Scale shape: the sketch is a DataFrame of at most depth×width rows
+# ((d, col, cnt)); building it is one map-side-combinable groupBy, so
+# the shuffle carries ≤ depth×width rows PER PARTITION no matter how
+# many input values stream through — this is what makes "token
+# frequency over 100 TB" a constant-size exchange instead of a
+# vocabulary-sized one.  Merging shard sketches is an elementwise sum
+# (exact — unlike KMV's bottom-k there is no approximation in the
+# fold), and lookups broadcast the tiny sketch to the probe side.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(d, value, width: int):
+    """Row-``d`` counter index of ``value``: md5("d:v") nibbles 1-15 as
+    bigint, mod width — nonnegative, so Spark/DuckDB `%` agree."""
+    h = F.md5(F.concat(d.cast("string"), F.lit(":"), value.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(width)
+    )
+
+
+def _cms_rows(depth: int):
+    return F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+
+
+def cms_sketch(df: DataFrame, value, depth: int = 4,
+               width: int = 8192) -> DataFrame:
+    """(d, col, cnt) — count-min sketch of the value stream.
+
+    The PERSISTED state (≤ depth×width rows): :func:`cms_merge` folds
+    shard sketches exactly, :func:`cms_lookup` answers frequency
+    queries from any of them."""
+    cells = (
+        df.select(value.alias("v"))
+        .select(_cms_rows(depth), F.col("v"))
+        .select("d", _cms_cell(F.col("d"), F.col("v"), width).alias("col"))
+    )
+    return cells.groupBy("d", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(d, col, cnt) — fold two sketch tables: elementwise counter sum.
+
+    EXACT (counters are additive), so merged-shard lookups equal
+    whole-corpus lookups bit-for-bit — the daily→monthly rollup
+    property, with zero approximation in the fold itself."""
+    u = a.select("d", "col", "cnt").unionByName(b.select("d", "col", "cnt"))
+    return u.groupBy("d", "col").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def cms_lookup(sketch: DataFrame, probes: DataFrame, value,
+               depth: int = 4, width: int = 8192) -> DataFrame:
+    """(v, est_count) — upper-bound frequency estimate per distinct
+    probe value: min over the depth rows of the probed counters.
+
+    The sketch is ≤ depth×width rows by construction → broadcast to
+    the probe side; the probe stream never shuffles on the counter
+    key.  A cell absent from the sketch means count 0 (possible only
+    for values the sketch never saw)."""
+    pv = probes.select(value.alias("v")).distinct()
+    cells = (
+        pv.select("v", _cms_rows(depth))
+        .select("v", "d", _cms_cell(F.col("d"), F.col("v"), width).alias("col"))
+    )
+    joined = cells.join(F.broadcast(sketch), ["d", "col"], "left")
+    return joined.groupBy("v").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
+        .alias("est_count")
+    )
+
+
+def cms_token_freq(documents: DataFrame, probe_docs: int = 3,
+                   depth: int = 4, width: int = 8192) -> DataFrame:
+    """(tok, est_count) — corpus token frequencies for the probe set
+    (tokens of the first ``probe_docs`` documents), answered from one
+    count-min sketch of the whole token stream: the pipeline-facing
+    wrapper (hot-token / boilerplate-phrase monitoring at 100 TB needs
+    a constant-size exchange, not a vocabulary-sized groupBy)."""
+    toks = documents.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    probes = documents.where(F.col("doc_id") < probe_docs).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    sk = cms_sketch(toks, F.col("tok"), depth=depth, width=width)
+    return (
+        cms_lookup(sk, probes, F.col("tok"), depth=depth, width=width)
+        .withColumnRenamed("v", "tok")
+    )
 
 
 def kmv_distinct_tokens(documents: DataFrame, k: int = 64) -> DataFrame:

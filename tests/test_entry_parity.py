@@ -44,9 +44,12 @@ def test_driver_window_covers_uncertified():
     names = list(QUERIES)
     assert len(names) == len(set(names))
     window = set(names[:50])
-    never_certified = set(entry_mod._DRIVER_WINDOW[:41])
+    never_certified = set(entry_mod._NEVER_CERTIFIED)
     assert len(never_certified) == 41
     assert never_certified <= window
+    # every round's new queries enter the window head (rotation contract)
+    assert set(entry_mod._ROUND_NEW) <= window
+    assert len(entry_mod._DRIVER_WINDOW) == 50
     # §2 sentinels stay driver-visible
     assert {"n3_parse_udf", "rule_closure", "graph_includes",
             "builtin_math", "transcripts_build"} <= window

@@ -94,3 +94,98 @@ def test_duplicates_do_not_inflate(spark):
     assert _rows(kmv_distinct(df1, "key", F.col("val"), k=32)) == _rows(
         kmv_distinct(df2, "key", F.col("val"), k=32)
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+from rdf_n3_spark.operators.sketch import (  # noqa: E402
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
+)
+
+
+def _freqs(df):
+    return {r["v"]: r["est_count"] for r in df.collect()}
+
+
+def _zipf_stream(spark, n_kinds=120, reps=4):
+    rows = [(f"tok{i}",) for i in range(n_kinds) for _ in range(1 + i % reps)]
+    return spark.createDataFrame(rows, ["val"])
+
+
+def test_cms_upper_bound_and_collisions(spark):
+    """Every estimate ≥ the true count (the count-min guarantee), and
+    with a deliberately tiny width at least one estimate is a STRICT
+    overestimate — proving the test isn't vacuously exact."""
+    df = _zipf_stream(spark)
+    exact = {
+        r["val"]: r["n"]
+        for r in df.groupBy("val").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sk = cms_sketch(df, F.col("val"), depth=2, width=16)
+    got = _freqs(cms_lookup(sk, df, F.col("val"), depth=2, width=16))
+    assert set(got) == set(exact)
+    assert all(got[v] >= exact[v] for v in exact)
+    assert any(got[v] > exact[v] for v in exact), "width=16 must collide"
+
+
+def test_cms_accurate_at_real_width(spark):
+    """At the default-ish width the min-over-depth kills collisions on
+    a small stream: estimates equal exact counts."""
+    df = _zipf_stream(spark)
+    exact = {
+        r["val"]: r["n"]
+        for r in df.groupBy("val").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sk = cms_sketch(df, F.col("val"), depth=4, width=4096)
+    got = _freqs(cms_lookup(sk, df, F.col("val"), depth=4, width=4096))
+    assert got == exact
+
+
+def test_cms_merge_is_exact(spark):
+    """cms_merge(sketch(A), sketch(B)) == sketch(A ∪ B) row-for-row:
+    the fold is an elementwise counter sum with NO approximation, so
+    shard rollups are bit-identical to one-shot sketches."""
+    a = _zipf_stream(spark, n_kinds=80)
+    b = _zipf_stream(spark, n_kinds=120)  # overlapping kinds
+    merged = cms_merge(cms_sketch(a, F.col("val")), cms_sketch(b, F.col("val")))
+    direct = cms_sketch(a.unionByName(b), F.col("val"))
+    as_rows = lambda d: {(r["d"], r["col"]): r["cnt"] for r in d.collect()}  # noqa: E731
+    assert as_rows(merged) == as_rows(direct)
+
+
+def test_cms_partition_independent(spark):
+    df1 = _zipf_stream(spark).repartition(1)
+    df2 = _zipf_stream(spark).repartition(13, "val")
+    r1 = {(r["d"], r["col"]): r["cnt"]
+          for r in cms_sketch(df1, F.col("val")).collect()}
+    r2 = {(r["d"], r["col"]): r["cnt"]
+          for r in cms_sketch(df2, F.col("val")).collect()}
+    assert r1 == r2
+
+
+def test_cms_unseen_probe_is_zero(spark):
+    df = _zipf_stream(spark, n_kinds=10)
+    sk = cms_sketch(df, F.col("val"), depth=4, width=65536)
+    probes = spark.createDataFrame([("never-seen-token-xyz",)], ["val"])
+    got = _freqs(cms_lookup(sk, probes, F.col("val"), depth=4, width=65536))
+    assert got == {"never-seen-token-xyz": 0}
+
+
+def test_cms_plan_shape(spark):
+    """Scale audit: the sketch build partial-aggregates before the wire
+    (shuffle ≤ depth×width rows per partition) and the lookup
+    BROADCASTS the sketch — the probe stream never shuffles on the
+    counter key.  No Window, no SortMergeJoin anywhere."""
+    df = _zipf_stream(spark)
+    sk = cms_sketch(df, F.col("val"))
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Window" not in plan, plan
+    look = cms_lookup(sk, df, F.col("val"))
+    lplan = look._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in lplan, lplan
+    assert "SortMergeJoin" not in lplan, lplan
