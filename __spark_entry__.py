@@ -920,6 +920,20 @@ def _q_kmv_merged(spark, sf_dir):
     return kmv_estimate(kmv_merge(a, b, "source"), "source")
 
 
+def _q_embedding_incremental(spark, sf_dir):
+    """Embedding-space ingest gate: vectors with vec_id % 10 == 7 are
+    the incoming batch, the rest the persisted corpus — same split as
+    `dedup_incremental`'s text twin."""
+    from rdf_n3_spark.operators.dedup import incremental_embedding_neardup
+
+    embs = _embs(spark, sf_dir)
+    return incremental_embedding_neardup(
+        embs.where(F.col("vec_id") % 10 == 7),
+        embs.where(F.col("vec_id") % 10 != 7),
+        threshold=0.35,
+    )
+
+
 def _q_cms_merged(spark, sf_dir):
     """Two half-corpus count-min sketches (doc_id parity split) merged
     then probed — the fold is an exact counter sum, so the oracle IS
@@ -1231,7 +1245,7 @@ def _q_frame_sample(spark, sf_dir):
 # round-N additions, newest first (the rotation contract: new queries
 # enter here, displacing tail sentinels, never the uncertified block)
 _ROUND_NEW = [
-    "cms_freq", "cms_merged",
+    "embedding_incremental", "cms_freq", "cms_merged",
     "triangle_counts_capped", "kmv_merged",
 ]
 
@@ -1338,6 +1352,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merged": _q_kmv_merged,
         "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
         "cms_merged": _q_cms_merged,
+        "embedding_incremental": _q_embedding_incremental,
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
@@ -1997,6 +2012,57 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # corpus = the rest): batch-scoped _DOC_SHINGLES chain for the
         # intra-batch pairs; corpus band-key index (min doc_id per key)
         # + representative verify for the corpus check
+        # embedding-space ingest gate: corpus band index (min-vec_id
+        # rep per hyperplane band key) probed by the batch, exact
+        # cosine verify against the representative (zero-norm guarded
+        # on both sides), plus intra-batch pairs — mirrors
+        # dedup.incremental_embedding_neardup over the % 10 = 7 split
+        "embedding_incremental": f"""
+            WITH qa AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+              FROM embeddings
+            ),
+            qb AS (SELECT * FROM qa WHERE vec_id % 10 = 7),
+            qc AS (SELECT * FROM qa WHERE vec_id % 10 <> 7),
+            bkeys AS (SELECT vec_id, unnest([{_band_keys_sql()}]) AS band_key FROM qb),
+            ckeys AS (SELECT vec_id, unnest([{_band_keys_sql()}]) AS band_key FROM qc),
+            cindex AS (SELECT band_key, min(vec_id) AS rep
+                       FROM ckeys GROUP BY band_key),
+            cand AS (SELECT DISTINCT k.vec_id, i.rep
+                     FROM bkeys k JOIN cindex i USING (band_key)),
+            cver AS (
+              SELECT c.vec_id, c.rep FROM cand c
+              JOIN qb q ON q.vec_id = c.vec_id
+              JOIN qc t ON t.vec_id = c.rep
+              WHERE list_sum(list_transform(q.e, x -> x * x)) > 0
+                AND list_sum(list_transform(t.e, x -> x * x)) > 0
+                AND {_COS_EXPR} >= 0.35
+            ),
+            corp AS (SELECT vec_id, min(rep) AS dup_of_corpus
+                     FROM cver GROUP BY vec_id),
+            bcand AS (
+              SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              FROM bkeys x JOIN bkeys y USING (band_key)
+              WHERE x.vec_id < y.vec_id
+            ),
+            bver AS (
+              SELECT c.a, c.b FROM bcand c
+              JOIN qb q ON q.vec_id = c.a
+              JOIN qb t ON t.vec_id = c.b
+              WHERE list_sum(list_transform(q.e, x -> x * x)) > 0
+                AND list_sum(list_transform(t.e, x -> x * x)) > 0
+                AND {_COS_EXPR} >= 0.35
+            ),
+            bdup AS (SELECT b AS vec_id, min(a) AS dup_of_batch
+                     FROM bver GROUP BY b)
+            SELECT d.vec_id, corp.dup_of_corpus, bdup.dup_of_batch,
+                   CAST(CASE WHEN corp.dup_of_corpus IS NULL
+                              AND bdup.dup_of_batch IS NULL
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM (SELECT vec_id FROM qb) d
+            LEFT JOIN corp USING (vec_id) LEFT JOIN bdup USING (vec_id)
+        """,
         "dedup_incremental": f"""
             {_DOC_SHINGLES.replace(
                 "FROM documents)",

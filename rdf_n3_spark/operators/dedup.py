@@ -596,3 +596,99 @@ def embedding_neardup_clusters(embeddings: DataFrame,
             (lbl != F.col("vec_id")).cast("int").alias("is_dup"),
         )
     )
+
+
+def embedding_band_index(corpus: DataFrame, bands: int = BANDS_E,
+                         bits: int = BITS_E, dims: int = 64) -> DataFrame:
+    """(band_key, rep) — the embedding-space twin of
+    :func:`lsh_band_index`: per hyperplane-LSH band key, the MIN corpus
+    vec_id as the bucket representative.  One row per distinct band key
+    by construction — index size bounded by key cardinality, probe
+    joins skew-proof — the same properties that make the text ingest
+    gate an index lookup instead of a corpus re-scan."""
+    qe = corpus.select("vec_id", quantize(F.col("embedding")).alias("e"))
+    keyed = qe.select(
+        "vec_id",
+        F.explode(lsh_band_keys(F.col("e"), bands, bits, dims)).alias("band_key"),
+    )
+    return keyed.groupBy("band_key").agg(F.min("vec_id").alias("rep"))
+
+
+def _cos_verified(cand: DataFrame, left: DataFrame, right: DataFrame,
+                  threshold: float) -> DataFrame:
+    """cand(a-col named per join) — attach quantized vectors and keep
+    rows with exact int-dot cosine ≥ threshold; zero-norm vectors are
+    excluded BEFORE the division (NaN orders above every double in
+    Spark, which would silently pass the test — the semdedup guard)."""
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    joined = cand.join(left, cand.columns[0]).join(right, cand.columns[1])
+    return (
+        joined.where((sq(F.col("ea")) > 0) & (sq(F.col("eb")) > 0))
+        .where(dot / (F.sqrt(sq(F.col("ea")).cast("double"))
+                      * F.sqrt(sq(F.col("eb")).cast("double"))) >= threshold)
+    )
+
+
+def incremental_embedding_neardup(new_vecs: DataFrame, corpus: DataFrame,
+                                  threshold: float = 0.95,
+                                  bands: int = BANDS_E, bits: int = BITS_E,
+                                  dims: int = 64) -> DataFrame:
+    """(vec_id, dup_of_corpus, dup_of_batch, keep) — the embedding-space
+    incremental ingest gate, mirroring :func:`incremental_neardup`:
+    each NEW vector probes the persisted :func:`embedding_band_index`
+    (band-key equi-join + exact-cosine verify against the bucket
+    representative's corpus vector) and is checked against earlier
+    vectors of its own batch (full :func:`embedding_neardup_pairs`
+    machinery, batch scope).  ``keep`` = 1 iff neither check fires.
+
+    Scale: per batch the work is index-sized + batch-sized — the
+    corpus embedding table is touched only via the rep-keyed equi-join
+    (one row per verified candidate), never scanned.  Representative-
+    only verify carries the same bounded-recall trade as the text gate
+    (a bucket mixing two semantic families mislabels the minority),
+    with the batch operator as the exact end-of-day sweep."""
+    qn = new_vecs.select("vec_id", quantize(F.col("embedding")).alias("e"))
+    cand = (
+        qn.select("vec_id",
+                  F.explode(lsh_band_keys(F.col("e"), bands, bits, dims))
+                  .alias("band_key"))
+        .join(embedding_band_index(corpus, bands, bits, dims), "band_key")
+        .select("vec_id", "rep")
+        .distinct()
+    )
+    qc = corpus.select(F.col("vec_id").alias("rep"),
+                       quantize(F.col("embedding")).alias("eb"))
+    ver = _cos_verified(
+        cand, qn.select(F.col("vec_id"), F.col("e").alias("ea")), qc, threshold)
+    corp = ver.groupBy("vec_id").agg(F.min("rep").alias("dup_of_corpus"))
+    # zero-norm vectors can never verify; exclude them from the
+    # intra-batch self-pairs too (embedding_neardup_pairs has no guard
+    # of its own — a NaN cosine would compare above the threshold)
+    nonzero = new_vecs.where(
+        F.aggregate(F.transform(quantize(F.col("embedding")), lambda x: x * x),
+                    F.lit(0).cast("bigint"), lambda acc, v: acc + v) > 0
+    )
+    batch_pairs = embedding_neardup_pairs(
+        nonzero, threshold, max_query_id=None, bands=bands, bits=bits,
+        dims=dims)
+    earlier = (
+        batch_pairs.groupBy(F.col("b").alias("vec_id"))
+        .agg(F.min("a").alias("dup_of_batch"))
+    )
+    return (
+        new_vecs.select("vec_id")
+        .join(corp, "vec_id", "left")
+        .join(earlier, "vec_id", "left")
+        .select(
+            "vec_id", "dup_of_corpus", "dup_of_batch",
+            (F.col("dup_of_corpus").isNull()
+             & F.col("dup_of_batch").isNull()).cast("int").alias("keep"),
+        )
+    )

@@ -79,3 +79,40 @@ def stream_neardup_gate(stream: DataFrame, corpus: DataFrame,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_embedding_gate(stream: DataFrame, corpus: DataFrame,
+                          out_dir: str, checkpoint_dir: str,
+                          threshold: float = 0.95):
+    """Continuous embedding-space near-dup ingest gate: every
+    micro-batch of incoming vectors is checked against the persisted
+    corpus hyperplane-LSH index
+    (:func:`rdf_n3_spark.operators.dedup.incremental_embedding_neardup`
+    — band probe + representative cosine verify + intra-batch pairs)
+    and only ``keep=1`` rows are appended to ``out_dir``.
+
+    Same harness and exactly-once discipline as
+    :func:`stream_neardup_gate`: ``foreachBatch`` (the verdict needs an
+    intra-batch self-join Structured Streaming can't express
+    incrementally), epoch-partitioned DYNAMIC partition overwrite so a
+    crash-replayed epoch overwrites its own partition instead of
+    appending a second copy."""
+    from rdf_n3_spark.operators.dedup import incremental_embedding_neardup
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        verdict = incremental_embedding_neardup(batch_df, corpus, threshold)
+        (
+            batch_df.join(verdict.where(F.col("keep") == 1).select("vec_id"),
+                          "vec_id")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
