@@ -920,6 +920,39 @@ def _q_kmv_merged(spark, sf_dir):
     return kmv_estimate(kmv_merge(a, b, "source"), "source")
 
 
+def _kb(spark, sf_dir):
+    """The mention KB (skolemized mention triples ∪ entity aggregates)
+    — the table the profile statistics describe."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return mention_triples(m).unionByName(entity_triples(m))
+
+
+def _q_kb_char_sets(spark, sf_dir):
+    """Characteristic-set profile of the KB (Neumann & Moerkotte
+    ICDE'11): one row per distinct per-subject predicate set."""
+    from rdf_n3_spark.operators.kb_stats import characteristic_sets
+
+    return characteristic_sets(_kb(spark, sf_dir))
+
+
+def _q_kb_void(spark, sf_dir):
+    """VoID property partition: per-predicate triple / distinct
+    subject / distinct object counts."""
+    from rdf_n3_spark.operators.kb_stats import void_stats
+
+    return void_stats(_kb(spark, sf_dir))
+
+
+def _q_kb_star_card(spark, sf_dir):
+    """Star cardinality answered from the characteristic-set profile;
+    the ORACLE computes the same count directly from the triples
+    (count distinct subjects carrying both predicates), so a green row
+    proves the profile's exactness claim, not just its replay."""
+    from rdf_n3_spark.operators.kb_stats import star_cardinality
+
+    return star_cardinality(_kb(spark, sf_dir), ["rdf:type", ":refersTo"])
+
+
 def _q_embedding_incremental(spark, sf_dir):
     """Embedding-space ingest gate: vectors with vec_id % 10 == 7 are
     the incoming batch, the rest the persisted corpus — same split as
@@ -1243,10 +1276,15 @@ def _q_frame_sample(spark, sf_dir):
 # pins the invariant; queries added in FUTURE rounds go at the head of
 # this list (displacing sentinels, never the uncertified block).
 # round-N additions, newest first (the rotation contract: new queries
-# enter here, displacing tail sentinels, never the uncertified block)
+# enter here, displacing tail sentinels, never the uncertified block).
+# Capped at 6 so the parser/fixpoint/includes sentinel trio always
+# fits: overflow round-4 queries (cms_freq, kb_void) ride below the
+# window — their machinery is exercised by the in-window twins
+# (cms_merged runs sketch+merge+lookup; kb_star_card reads the
+# char-set profile) and all of them keep the pytest-side oracle parity.
 _ROUND_NEW = [
-    "embedding_incremental", "cms_freq", "cms_merged",
-    "triangle_counts_capped", "kmv_merged",
+    "kb_char_sets", "kb_star_card", "embedding_incremental",
+    "cms_merged", "triangle_counts_capped", "kmv_merged",
 ]
 
 #: the 41 operators with no driver CORRECTNESS row through round 3
@@ -1353,6 +1391,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
         "cms_merged": _q_cms_merged,
         "embedding_incremental": _q_embedding_incremental,
+        "kb_char_sets": _q_kb_char_sets,
+        "kb_void": _q_kb_void,
+        "kb_star_card": _q_kb_star_card,
         "corpus_sample": lambda s, d: corpus_sample(_docs(s, d), pct=10),
         "stratified_sample": lambda s, d: stratified_sample(
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
@@ -1613,6 +1654,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ent:' || norm AS s, ':mentionCount' AS p,
                    CAST(count(*) AS VARCHAR) AS o
             FROM mentions GROUP BY norm
+        """,
+        # mirrors kb_stats.characteristic_sets: per-subject sorted
+        # distinct predicate set, then one row per distinct set
+        "kb_char_sets": f"""
+            {_TRIPLES},
+            per_s AS (
+              SELECT s, array_to_string(list_sort(list(DISTINCT p)), '|') AS cs,
+                     count(*) AS nt
+              FROM triples GROUP BY s
+            )
+            SELECT cs, CAST(count(*) AS BIGINT) AS n_subjects,
+                   CAST(sum(nt) AS BIGINT) AS n_triples
+            FROM per_s GROUP BY cs
+        """,
+        # mirrors kb_stats.void_stats: the VoID property partition
+        "kb_void": f"""
+            {_TRIPLES}
+            SELECT p, CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+                   CAST(count(DISTINCT o) AS BIGINT) AS n_objects
+            FROM triples GROUP BY p
+        """,
+        # deliberately NOT a replay of the Spark plan: the Spark side
+        # answers the star from the characteristic-set profile, the
+        # oracle counts distinct subjects carrying both predicates
+        # directly — a green row proves the profile is EXACT
+        "kb_star_card": f"""
+            {_TRIPLES}
+            SELECT CAST(count(*) AS BIGINT) AS n_subjects FROM (
+              SELECT s FROM triples WHERE p IN ('rdf:type', ':refersTo')
+              GROUP BY s HAVING count(DISTINCT p) = 2
+            )
         """,
         "graph_nodes": f"""
             {_TRIPLES},
