@@ -85,15 +85,71 @@ def match_pattern(triples: DataFrame, pat, keep_graph: bool = False) -> DataFram
     return df.select(*cols)
 
 
+def order_patterns(patterns, predicate_counts: dict | None = None) -> list:
+    """Greedy selectivity + connectivity join order for the BGP fold —
+    returns a permutation of pattern indices.
+
+    Two rules, in priority order:
+
+    1. CONNECTIVITY: once anything is bound, only patterns sharing a
+       variable with the bound set are eligible (a disjoint pattern
+       would be a cross join — the shape that explodes at 100 TB; it
+       is deferred until nothing else connects, i.e. until the product
+       is semantically unavoidable).
+    2. SELECTIVITY: among eligible patterns, fewest variable positions
+       first (a ground or 1-var pattern filters hardest at the scan —
+       Catalyst pushes the constant equality into the parquet reader),
+       tie-broken by the predicate's triple count when a
+       ``predicate_counts`` profile (e.g. a collected
+       `kb_stats.void_stats`) is supplied, then by input position so
+       the order is deterministic.
+
+    Inner equi-joins commute and the fold ends in dropDuplicates, so
+    any order returns the same solution set (pinned by
+    tests/test_bgp_order.py); Spark's own CBO join reordering is off
+    by default and never sees these semantics, so the engine orders
+    the fold itself — the reference evaluates patterns in author order
+    (formula.rb:125-147), fine in-process, quadratic-risk distributed.
+    """
+    def vars_of(i):
+        return {t for t in patterns[i] if _is_var(t)}
+
+    big = 1 << 62
+
+    def key(i):
+        pat = patterns[i]
+        nv = len([t for t in pat if _is_var(t)])
+        if predicate_counts is not None and not _is_var(pat[1]):
+            est = predicate_counts.get(pat[1], big)
+        else:
+            est = big
+        return (nv, est, i)
+
+    remaining = set(range(len(patterns)))
+    order: list[int] = []
+    bound: set[str] = set()
+    while remaining:
+        pool = [i for i in remaining if vars_of(i) & bound] if bound else []
+        nxt = min(pool or remaining, key=key)
+        order.append(nxt)
+        remaining.remove(nxt)
+        bound |= vars_of(nxt)
+    return order
+
+
 def bgp(triples: DataFrame, patterns, sources=None, keep_graph: bool = False,
-        pattern_cache: dict | None = None) -> DataFrame:
+        pattern_cache: dict | None = None,
+        predicate_counts: dict | None = None) -> DataFrame:
     """Conjunctive pattern join. ``sources`` optionally overrides the
     store per pattern seat (used by the semi-naive delta rounds).
 
     Shared variables → inner equi-join; disjoint patterns → cross join
     (RDF::Query::Solutions#merge semantics). Solutions deduped — the
     reference applies ``.compact.uniq`` after every operator
-    (resource_operator.rb:70). With ``keep_graph`` the ``g`` column is
+    (resource_operator.rb:70). Seats fold in :func:`order_patterns`
+    order (connectivity-first greedy, optionally refined by a
+    ``predicate_counts`` profile), never author order — cross joins
+    only happen when the BGP is genuinely disconnected. With ``keep_graph`` the ``g`` column is
     a join key on every seat, so patterns only co-match inside one
     graph — ALL graphs evaluate in one distributed job instead of a
     per-formula loop.
@@ -109,7 +165,8 @@ def bgp(triples: DataFrame, patterns, sources=None, keep_graph: bool = False,
     seats the same logical subplan).
     """
     sol = None
-    for i, pat in enumerate(patterns):
+    for i in order_patterns(patterns, predicate_counts):
+        pat = patterns[i]
         src = sources[i] if sources is not None else triples
         if pattern_cache is not None:
             key = (pat, id(src), keep_graph)

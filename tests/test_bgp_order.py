@@ -1,0 +1,97 @@
+"""BGP join ordering: connectivity-first greedy fold — same solution
+set in every order, cross joins only for genuinely disconnected BGPs,
+statistics refine ties."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_n3_spark.plans.bgp import bgp, order_patterns
+
+TRIPLES = [
+    ("a1", "P", "b1"), ("a2", "P", "b2"),
+    ("b1", "R", "c1"), ("b2", "R", "c2"),
+    ("c1", "Q", "d1"),
+    ("x", "T", "y"),
+]
+
+# author order puts the disjoint (?c Q ?d) second: the naive fold
+# would cross-join it against (?a P ?b) before (?b R ?c) connects them
+CHAIN = [("?a", "P", "?b"), ("?c", "Q", "?d"), ("?b", "R", "?c")]
+
+
+def _store(spark):
+    return spark.createDataFrame(TRIPLES, ["s", "p", "o"])
+
+
+def _rows(df):
+    return {tuple(sorted(r.asDict().items())) for r in df.collect()}
+
+
+def test_order_connectivity_beats_author_order():
+    order = order_patterns(CHAIN)
+    # 0 and 1 tie on var count; 0 wins by index. 1 (disjoint from 0)
+    # must be deferred behind 2, which connects via ?b.
+    assert order == [0, 2, 1]
+
+
+def test_any_order_same_solutions(spark):
+    """Join reordering is semantics-preserving: the ordered fold equals
+    a fold over every permutation of the pattern list."""
+    import itertools
+
+    store = _store(spark)
+    want = _rows(bgp(store, CHAIN))
+    assert want == {tuple(sorted({"a": "a1", "b": "b1", "c": "c1",
+                                  "d": "d1"}.items()))}
+    for perm in itertools.permutations(CHAIN):
+        assert _rows(bgp(store, list(perm))) == want, perm
+
+
+def test_connected_bgp_has_no_cartesian(spark):
+    plan = (
+        bgp(_store(spark), CHAIN)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_disconnected_bgp_still_products(spark):
+    """A genuinely disconnected BGP is a product by SPARQL/N3
+    semantics — the ordering must not drop it."""
+    sols = bgp(_store(spark), [("?a", "P", "?b"), ("?x", "T", "?y")])
+    assert sols.count() == 2  # 2 P-rows × 1 T-row
+
+
+def test_stats_refine_ties():
+    """With a predicate-count profile, the rarer predicate's pattern
+    leads among equally-shaped seats."""
+    pats = [("?a", "P", "?b"), ("?a", "Q", "?c")]
+    assert order_patterns(pats, {"P": 1_000_000, "Q": 5}) == [1, 0]
+    assert order_patterns(pats, {"P": 5, "Q": 1_000_000}) == [0, 1]
+    # no profile → author order for equal shapes
+    assert order_patterns(pats) == [0, 1]
+
+
+def test_ground_pattern_leads():
+    pats = [("?a", "P", "?b"), ("s0", "P", "o0"), ("?b", "R", "s0")]
+    order = order_patterns(pats)
+    assert order[0] == 1  # fully ground seat filters hardest
+    # a ground seat binds no variables, so the next pick is again
+    # global: the 1-var seat (2) beats the 2-var seat (0)
+    assert order == [1, 2, 0]
+
+
+def test_sources_stay_aligned(spark):
+    """Per-seat source override (the semi-naive delta machinery) must
+    permute WITH its pattern."""
+    store = _store(spark)
+    empty = store.limit(0)
+    # Q-seat reads an EMPTY delta: if sources misaligned after
+    # reordering, some other seat would go empty instead and the
+    # solution set would differ from the semantic expectation (∅).
+    sols = bgp(store, CHAIN, sources=[store, empty, store])
+    assert sols.count() == 0
+    sols2 = bgp(store, CHAIN, sources=[store, store, store])
+    assert sols2.count() == 1
