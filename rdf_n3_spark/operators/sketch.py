@@ -73,23 +73,30 @@ def kmv_sketch(df: DataFrame, key: str, value, k: int = 64) -> DataFrame:
     )
 
 
-def kmv_merge(a: DataFrame, b: DataFrame, key: str, k: int = 64) -> DataFrame:
-    """(key, hs) — fold two sketch tables into one.
+def kmv_merge_all(stacked: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """(key, hs) — fold a STACK of sketch rows (any number of shards /
+    days / epochs, several rows per key) into one sketch per key.
 
-    bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B) exactly (any
-    hash outside a side's bottom-k is outside the union's), so merged
-    estimates are IDENTICAL to sketching the union — the property that
-    makes daily sketches roll up into monthly ones without re-reading
-    the data.  ``array_distinct`` drops hashes the two sides share.
-    Full-outer union semantics: a key present on one side only keeps
-    its sketch."""
-    u = a.select(key, "hs").unionByName(b.select(key, "hs"))
-    return u.groupBy(key).agg(
+    bottom-k over a union of bottom-k's equals the global bottom-k
+    (any hash outside a shard's bottom-k is outside the union's), so
+    merged estimates are IDENTICAL to sketching all the data at once —
+    the property that makes daily sketches roll up into monthly ones
+    without re-reading the data.  ``array_distinct`` drops hashes
+    shards share."""
+    return stacked.groupBy(key).agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))),
             1, k,
         ).alias("hs")
     )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """(key, hs) — fold two sketch tables (see :func:`kmv_merge_all`).
+    Full-outer union semantics: a key present on one side only keeps
+    its sketch."""
+    return kmv_merge_all(
+        a.select(key, "hs").unionByName(b.select(key, "hs")), key, k=k)
 
 
 def kmv_estimate(sketch: DataFrame, key: str, k: int = 64) -> DataFrame:
@@ -177,16 +184,22 @@ def cms_sketch(df: DataFrame, value, depth: int = 4,
     )
 
 
-def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """(d, col, cnt) — fold two sketch tables: elementwise counter sum.
-
-    EXACT (counters are additive), so merged-shard lookups equal
-    whole-corpus lookups bit-for-bit — the daily→monthly rollup
-    property, with zero approximation in the fold itself."""
-    u = a.select("d", "col", "cnt").unionByName(b.select("d", "col", "cnt"))
-    return u.groupBy("d", "col").agg(
+def cms_merge_all(stacked: DataFrame) -> DataFrame:
+    """(d, col, cnt) — fold a STACK of sketch rows (any number of
+    shards / days / epochs): elementwise counter sum.  EXACT (counters
+    are additive), so merged-shard lookups equal whole-corpus lookups
+    bit-for-bit — the daily→monthly rollup property, with zero
+    approximation in the fold itself."""
+    return stacked.select("d", "col", "cnt").groupBy("d", "col").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(d, col, cnt) — fold two sketch tables (see
+    :func:`cms_merge_all`)."""
+    return cms_merge_all(
+        a.select("d", "col", "cnt").unionByName(b.select("d", "col", "cnt")))
 
 
 def cms_lookup(sketch: DataFrame, probes: DataFrame, value,

@@ -1,0 +1,95 @@
+"""Continuous sketch rollups: per-epoch KMV / count-min sketch state
+appended by a stream, folded exactly on read.
+
+The batch sketches (:mod:`rdf_n3_spark.operators.sketch`) are
+MERGEABLE — bottom-k over unioned bottom-k's is the global bottom-k,
+counter tables sum elementwise — so a stream doesn't need stateful
+aggregation to maintain them: each micro-batch writes its OWN tiny
+sketch (≤ keys×k rows / ≤ depth×width rows) to an epoch partition, and
+any reader folds the epochs into the exact sketch of everything seen.
+This is the production "daily sketch → monthly estimate" pipeline as a
+continuous job, with per-epoch state instead of an ever-growing store.
+
+Exactly-once: the same epoch-partitioned DYNAMIC-overwrite discipline
+as the ingest gates (:mod:`.dedup`) — a crash-replayed epoch
+overwrites its own partition (same batch ⇒ same sketch ⇒ identical
+partition contents), never appending a second copy that would bias the
+fold (KMV would survive a duplicate epoch — bottom-k is idempotent —
+but count-min counters would double-count; the sink discipline makes
+both exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_n3_spark.operators.sketch import (
+    cms_lookup,
+    cms_merge_all,
+    cms_sketch,
+    kmv_estimate,
+    kmv_merge_all,
+    kmv_sketch,
+)
+
+
+def stream_kmv_rollup(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                      key: str, value_col: str, k: int = 64):
+    """Write one KMV sketch row per key per epoch to ``out_dir``
+    (epoch-partitioned).  Finish with :func:`read_kmv_rollup`."""
+
+    def roll(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            kmv_sketch(batch_df, key, F.col(value_col), k=k)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_kmv_rollup(spark: SparkSession, out_dir: str, key: str,
+                    k: int = 64) -> DataFrame:
+    """(key, n_seen, kth_hash, est_distinct) — fold every epoch's
+    sketch and finish: EQUALS `kmv_distinct` over the full history
+    (pinned by tests/test_streaming_sketches.py)."""
+    return kmv_estimate(
+        kmv_merge_all(spark.read.parquet(out_dir), key, k=k), key, k=k)
+
+
+def stream_cms_rollup(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                      value_col: str, depth: int = 4, width: int = 8192):
+    """Write one count-min sketch (≤ depth×width rows) per epoch to
+    ``out_dir``.  Probe with :func:`read_cms_rollup`."""
+
+    def roll(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            cms_sketch(batch_df, F.col(value_col), depth=depth, width=width)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_cms_rollup(spark: SparkSession, out_dir: str, probes: DataFrame,
+                    value, depth: int = 4, width: int = 8192) -> DataFrame:
+    """(v, est_count) — fold every epoch's counters and probe: EQUALS
+    `cms_lookup` over a whole-history sketch (counter sums are exact)."""
+    merged = cms_merge_all(spark.read.parquet(out_dir))
+    return cms_lookup(merged, probes, value, depth=depth, width=width)
