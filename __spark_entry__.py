@@ -44,6 +44,7 @@ from rdf_n3_spark.operators.curation import (
     decontaminate,
     pack_sequences,
     paragraph_dedup,
+    paragraph_neardup,
 )
 from rdf_n3_spark.operators.substrings import (
     dup_spans,
@@ -1410,6 +1411,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the raw synthetic corpus is newline-free and all-unique, so
         # the gate input is a deterministic self-union: docs < 50
         # duplicated at offset ids — both verdict branches exercised
+        "paragraph_neardup": lambda s, d: paragraph_neardup(_docs(s, d)),
         "paragraph_dedup": lambda s, d: paragraph_dedup(
             _docs(s, d).select("doc_id", "text").unionByName(
                 _docs(s, d).where(F.col("doc_id") < 50).select(
@@ -2192,6 +2194,35 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # component min via recursive reachability (sym edges), then
         # every document labeled; Spark runs distributed min-label CC
         # over the identical edges, so the fixpoints agree exactly.
+        # mirrors curation.paragraph_neardup: the dedup_clusters CC
+        # oracle run over posexploded paragraphs under the packed
+        # pid = doc_id·2^20 + para_idx, decoded back at the end
+        "paragraph_neardup": f"""
+            WITH RECURSIVE paras AS (
+              SELECT doc_id * 1048576 + pos AS doc_id, para AS text
+              FROM (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 AS pos,
+                       unnest(string_split(text, chr(10))) AS para
+                FROM documents
+              )
+              WHERE len(trim(para)) > 0
+            ),
+            {_DOC_SHINGLES.replace("WITH ", "", 1).replace("FROM documents)", "FROM paras)")},
+            sym AS (SELECT a, b FROM ver
+                    UNION ALL SELECT b AS a, a AS b FROM ver),
+            reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM paras
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node // 1048576 AS doc_id,
+                   CAST(node % 1048576 AS INT) AS para_idx,
+                   min(lbl) // 1048576 AS survivor_doc,
+                   CAST(min(lbl) % 1048576 AS INT) AS survivor_para,
+                   CAST(min(lbl) <> node AS INT) AS is_dup
+            FROM reach GROUP BY node
+        """,
         "dedup_clusters": f"""
             {_DOC_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
             sym AS (SELECT a, b FROM ver

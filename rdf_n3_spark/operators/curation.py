@@ -357,6 +357,53 @@ def curate_corpus(documents: DataFrame, benchmark: DataFrame, n: int = 4,
     )
 
 
+#: paragraph-id packing: pid = doc_id·2^20 + para_idx.  Bounds are a
+#: documented contract, not a guess: para_idx < 2^20 (a million
+#: paragraphs per document) and doc_id < 2^43 (8 trillion documents)
+#: keep pid inside int64.
+_PARA_LIM = 1 << 20
+
+
+def paragraph_neardup(documents: DataFrame, threshold: float = 0.8):
+    """(doc_id, para_idx, survivor_doc, survivor_para, is_dup) — FUZZY
+    paragraph-level dedup, the near-dup twin of :func:`paragraph_dedup`
+    (which requires byte-exact paragraphs): paragraphs whose word-
+    shingle Jaccard ≥ threshold cluster transitively, and only the
+    corpus-first (min (doc_id, para_idx)) copy of each cluster
+    survives.  Catches the boilerplate a crawler mutates slightly per
+    page (dates, counters, names injected into a template paragraph)
+    that exact hashing misses.
+
+    Scale shape: posexplode is linear; everything after IS the
+    document-level machinery (:func:`~rdf_n3_spark.operators.dedup.
+    neardup_clusters` — per-row signatures, banded equi-join,
+    hot-bucket star-collapse, CC with pointer-jumping) run over
+    paragraph rows under a packed int64 id, so every audit that holds
+    for document dedup holds here unchanged."""
+    from rdf_n3_spark.operators.dedup import neardup_clusters
+
+    paras = (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("para_idx", "para"),
+        )
+        .where(F.length(F.trim("para")) > 0)
+        .select(
+            (F.col("doc_id") * _PARA_LIM + F.col("para_idx")).alias("doc_id"),
+            F.col("para").alias("text"),
+        )
+    )
+    cl = neardup_clusters(paras, threshold)
+    pid, surv = F.col("doc_id"), F.col("survivor")
+    return cl.select(
+        F.expr(f"doc_id div {_PARA_LIM}").alias("doc_id"),
+        F.pmod(pid, F.lit(_PARA_LIM)).cast("int").alias("para_idx"),
+        F.expr(f"survivor div {_PARA_LIM}").alias("survivor_doc"),
+        F.pmod(surv, F.lit(_PARA_LIM)).cast("int").alias("survivor_para"),
+        "is_dup",
+    )
+
+
 def paragraph_dedup(documents: DataFrame) -> DataFrame:
     """(doc_id, para_idx, is_dup) — paragraph-level exact dedup (the
     Dolma recipe): every newline-delimited, non-empty paragraph is

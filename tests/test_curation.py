@@ -400,3 +400,31 @@ def test_chunk_dedup_finds_shared_passages(spark):
     # totals: every chunk occurrence is accounted for exactly once
     from rdf_n3_spark.operators.curation import chunk_documents
     assert sum(r["n_copies"] for r in rows) == chunk_documents(docs).count()
+
+
+def test_paragraph_neardup_catches_mutated_boilerplate(spark):
+    """Near-identical (but not byte-equal) template paragraphs cluster
+    to the corpus-first copy; unique paragraphs survive; the packed-id
+    round trip restores (doc_id, para_idx) exactly."""
+    from rdf_n3_spark.operators.curation import paragraph_dedup, paragraph_neardup
+
+    template = " ".join(f"w{i}" for i in range(30))
+    docs = _docs(spark, [
+        (0, template + " v1\nunique alpha content here"),
+        (1, "another head paragraph\n" + template + " v2"),
+        (2, " ".join(f"z{i}" for i in range(25))),
+    ])
+    rows = {(r["doc_id"], r["para_idx"]):
+            (r["survivor_doc"], r["survivor_para"], r["is_dup"])
+            for r in paragraph_neardup(docs).collect()}
+    # the two template variants differ byte-wise → exact dedup misses them
+    exact = {(r["doc_id"], r["para_idx"]): r["is_dup"]
+             for r in paragraph_dedup(docs).collect()}
+    assert exact[(1, 1)] == 0
+    # ...but fuzzy clusters them: (1,1) dups to corpus-first (0,0)
+    assert rows[(0, 0)] == (0, 0, 0)
+    assert rows[(1, 1)] == (0, 0, 1)
+    # unique paragraphs survive as themselves
+    assert rows[(0, 1)] == (0, 1, 0)
+    assert rows[(1, 0)] == (1, 0, 0)
+    assert rows[(2, 0)] == (2, 0, 0)
