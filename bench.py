@@ -38,8 +38,10 @@ empirically, see BENCH/BASELINE.md):
     run (a real job plans once and processes 100 TB).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 3; median reported,
-BENCH_STAT=min for scaling runs), SPARK_GRAFT_MULT (deterministic input
+SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 5; BENCH_STAT
+picks median (default) or min; the per-query min of the same runs is
+always reported as queries_min for one-sided-noise diagnostics),
+BENCH_QUERIES (comma-separated subset), SPARK_GRAFT_MULT (deterministic input
 replication, default 10 → 6M turns at sf0.1).
 """
 

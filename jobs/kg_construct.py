@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     ap.add_argument("--repartition", type=int, default=0,
                     help="explicit conv_id repartition width (0 = leave "
                     "to the source partitioning)")
+    ap.add_argument("--profile", action="store_true",
+                    help="also write the KB statistics profile beside the "
+                    "graph: VoID per-predicate counts (the predicate_counts "
+                    "input for plans/bgp.order_patterns) + characteristic "
+                    "sets (exact star-join cardinalities)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -114,6 +119,24 @@ def main(argv=None) -> int:
     # Stage 2: both triple families derive from the staged mentions.
     triples = mention_triples(m).unionByName(entity_triples(m))
     metrics = materialize_graph(spark, triples, args.graph_root, args.batch_id)
+
+    # Stage 3 (optional): the statistics a production store maintains
+    # next to the data — tiny outputs (rows ∝ schema shapes, not
+    # corpus size), rewritten per batch, no lineage gate needed
+    if args.profile and not metrics.get("skipped"):
+        from rdf_n3_spark.operators.kb_stats import (
+            characteristic_sets,
+            void_stats,
+        )
+
+        prof = os.path.join(args.graph_root, "profile",
+                            f"batch={args.batch_id}")
+        void_stats(triples).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(prof, "void"))
+        characteristic_sets(triples).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(prof, "char_sets"))
+        metrics["profile"] = prof
+
     print(json.dumps(metrics))
     return 0
 

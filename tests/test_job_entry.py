@@ -48,3 +48,30 @@ def test_job_restages_mentions_for_different_input(tmp_path):
     run_job(root, "b0", sf_dir=str(alt))
     staged = sorted(os.listdir(root / "mentions" / "batch=b0"))
     assert len(staged) == 2 and all(s.startswith("input=") for s in staged)
+
+
+def test_job_profile_stage(tmp_path):
+    """--profile writes the KB statistics beside the graph: VoID
+    per-predicate counts (the bgp order_patterns input) and the
+    characteristic-set profile."""
+    root = tmp_path / "graph"
+    out = subprocess.run(
+        [sys.executable, "jobs/kg_construct.py",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--graph-root", str(root),
+         "--batch-id", "b0",
+         "--repartition", "8",
+         "--profile"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["profile"].endswith("profile/batch=b0")
+    import duckdb
+    void = duckdb.sql(
+        f"SELECT p, n_triples FROM '{m['profile']}/void/*.parquet'").fetchall()
+    preds = {p for p, _ in void}
+    assert {"rdf:type", ":refersTo", ":mentionCount"} <= preds
+    cs = duckdb.sql(
+        f"SELECT count(*) FROM '{m['profile']}/char_sets/*.parquet'").fetchone()
+    assert cs[0] >= 2  # at least the mention shape and the entity shape
