@@ -32,6 +32,7 @@ from rdf_n3_spark.operators.sampling import (
     corpus_sample,
     shuffle_shards,
     source_mix,
+    source_weights,
     stratified_sample,
 )
 from rdf_n3_spark.operators.curation import (
@@ -1400,6 +1401,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), {"en": 5, "zh": 60}, default_pct=20),
         "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
+        "source_weights": lambda s, d: source_weights(_docs(s, d)),
         "graph_pagerank": _q_pagerank,
         "comention_edges": _q_comention,
         "graph_kcore": _q_kcore,
@@ -3019,6 +3021,24 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS doc_share_ppm,
                    CAST((n_tokens * 1000000) // sum(n_tokens) OVER () AS BIGINT) AS token_share_ppm
             FROM agg
+        """,
+        # mirrors sampling.source_weights: per-source sqrt quantized to
+        # bigint BEFORE normalization (sqrt is the one correctly-rounded
+        # IEEE power), integer ppm division — bit-portable end to end
+        "source_weights": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source
+            ),
+            q AS (
+              SELECT source, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+              FROM c
+            )
+            SELECT source, n_docs,
+                   CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS share_ppm,
+                   CAST((sq * 1000000) // sum(sq) OVER () AS BIGINT) AS weight_ppm
+            FROM q
         """,
         # mirrors functions.text.keyword_topk (integer tf-idf ordering)
         "keyword_topk": """

@@ -61,6 +61,17 @@ def void_stats(triples: DataFrame) -> DataFrame:
     )
 
 
+def load_predicate_counts(void_df: DataFrame) -> dict:
+    """Collect a VoID profile (``void_stats`` output, or the parquet
+    the batch job's ``--profile`` stage wrote) into the
+    {predicate: n_triples} dict that
+    :func:`rdf_n3_spark.plans.bgp.order_patterns` consumes.  The one
+    ``.collect()`` that is genuinely driver-sized: rows ∝ distinct
+    predicates (schema width), never data."""
+    return {r["p"]: r["n_triples"]
+            for r in void_df.select("p", "n_triples").collect()}
+
+
 def star_cardinality(triples: DataFrame, predicates: list[str]) -> DataFrame:
     """(n_subjects) — EXACT number of distinct subjects matching the
     star `?s p1 ?o1 . ?s p2 ?o2 ...` over ``predicates``, answered

@@ -134,3 +134,37 @@ def source_mix(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr("CAST(n_tokens * 1000000 DIV sum(n_tokens) OVER () AS BIGINT)")
         .alias("token_share_ppm"),
     )
+
+
+def source_weights(documents: DataFrame, scale: int = 10**6) -> DataFrame:
+    """(source, n_docs, share_ppm, weight_ppm) — α = 0.5 temperature-
+    scaled mixing weights (the standard multilingual/multi-source
+    sampling rule: weight ∝ n_docs^α flattens the source distribution,
+    up-sampling rare sources without letting any source dominate).
+
+    α is pinned at 0.5 because sqrt is the ONE power IEEE-754 requires
+    correctly rounded — Java's Math.pow and C's pow may differ by an
+    ulp, which a floor() would amplify into a cross-engine mismatch.
+    Each per-source sqrt is quantized to a bigint (floor(sqrt(n)·scale))
+    BEFORE the cross-source normalization, so the normalizing sums are
+    exact integers (order-independent under any partitioning) and the
+    final ppm weights replay bit-for-bit in the DuckDB oracle — the
+    same discipline as `source_mix`'s integer ppm shares.
+
+    Scale shape: one map-side-combinable count per source, then a
+    window over the #sources-row rollup — nothing data-sized crosses
+    the wire twice."""
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    q = counts.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(float(scale)))
+        .cast("bigint"),
+    )
+    return q.select(
+        "source", "n_docs",
+        F.expr("CAST(n_docs * 1000000 DIV sum(n_docs) OVER () AS BIGINT)")
+        .alias("share_ppm"),
+        F.expr("CAST(sq * 1000000 DIV sum(sq) OVER () AS BIGINT)")
+        .alias("weight_ppm"),
+    )

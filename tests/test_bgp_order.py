@@ -95,3 +95,39 @@ def test_sources_stay_aligned(spark):
     assert sols.count() == 0
     sols2 = bgp(store, CHAIN, sources=[store, store, store])
     assert sols2.count() == 1
+
+
+def test_order_patterns_properties():
+    """Property sweep (pure driver-side): for random BGPs the ordering
+    is a permutation, and every non-first pick shares a variable with
+    the already-bound set whenever ANY remaining pattern does (cross
+    joins only when semantically unavoidable)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    term = st.one_of(
+        st.sampled_from(["?a", "?b", "?c", "?d", "?e"]),
+        st.sampled_from(["s0", "s1", "P", "Q", "o0"]),
+    )
+    pattern = st.tuples(term, term, term)
+    bgps = st.lists(pattern, min_size=1, max_size=6)
+
+    @settings(max_examples=300, deadline=None)
+    @given(bgps)
+    def check(pats):
+        order = order_patterns(pats)
+        assert sorted(order) == list(range(len(pats)))
+        bound: set = set()
+        rest = set(range(len(pats)))
+
+        def vs(i):
+            return {t for t in pats[i] if t.startswith("?")}
+
+        for i in order:
+            connectable = [j for j in rest if vs(j) & bound]
+            if bound and connectable:
+                assert i in connectable, (pats, order)
+            rest.remove(i)
+            bound |= vs(i)
+
+    check()

@@ -81,3 +81,16 @@ def test_profile_plan_partial_aggregates(spark):
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4, plan
+
+
+def test_profile_feeds_bgp_ordering(spark):
+    """The collected VoID profile drives order_patterns: the rare
+    predicate's seat leads the fold — profile → dict → ordering,
+    end to end."""
+    from rdf_n3_spark.operators.kb_stats import load_predicate_counts
+    from rdf_n3_spark.plans.bgp import order_patterns
+
+    counts = load_predicate_counts(void_stats(_kb(spark)))
+    assert counts == {"name": 5, "age": 3, "city": 1}
+    pats = [("?s", "name", "?n"), ("?s", "city", "?c"), ("?s", "age", "?a")]
+    assert order_patterns(pats, counts) == [1, 2, 0]

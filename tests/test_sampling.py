@@ -133,3 +133,32 @@ def test_source_mix_window_runs_after_aggregate(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_count" in plan or "partial" in plan.lower()
     assert plan.lower().index("window") < plan.lower().index("partial")
+
+
+def test_source_weights_flatten_the_mix(spark):
+    """α = 0.5 weights sit between the raw share and uniform: the rare
+    source is up-weighted, the dominant one down-weighted, and the
+    values replay a driver-side integer quantization exactly."""
+    import math
+
+    from rdf_n3_spark.operators.sampling import source_weights
+
+    rows = ([(i, "x", "big") for i in range(900)]
+            + [(1000 + i, "x", "rare") for i in range(9)])
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["share_ppm"], r["weight_ppm"])
+           for r in source_weights(docs).collect()}
+
+    def replay(n, tot, sq_tot):
+        sq = math.floor(math.sqrt(float(n)) * 1_000_000)
+        return (n * 1_000_000 // tot, sq * 1_000_000 // sq_tot)
+
+    sq_tot = sum(math.floor(math.sqrt(float(n)) * 1_000_000) for n in (900, 9))
+    assert got["big"] == (900, *replay(900, 909, sq_tot))
+    assert got["rare"] == (9, *replay(9, 909, sq_tot))
+    # flattening: rare source's weight share strictly exceeds its doc
+    # share; dominant source's is strictly below
+    assert got["rare"][2] > got["rare"][1]
+    assert got["big"][2] < got["big"][1]
+    # still a distribution (ppm floor loses at most #sources parts)
+    assert 1_000_000 - 2 <= got["big"][2] + got["rare"][2] <= 1_000_000
