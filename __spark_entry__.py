@@ -929,6 +929,14 @@ def _kb(spark, sf_dir):
     return mention_triples(m).unionByName(entity_triples(m))
 
 
+def _q_relations(spark, sf_dir):
+    """Pattern-mined candidate relation triples between co-occurring
+    mentions — the stage that FEEDS an N3 store from raw transcripts."""
+    from rdf_n3_spark.operators.relations import relation_candidates
+
+    return relation_candidates(transcripts(spark, sf_dir))
+
+
 def _q_kb_char_sets(spark, sf_dir):
     """Characteristic-set profile of the KB (Neumann & Moerkotte
     ICDE'11): one row per distinct per-subject predicate set."""
@@ -1285,8 +1293,8 @@ def _q_frame_sample(spark, sf_dir):
 # (cms_merged runs sketch+merge+lookup; kb_star_card reads the
 # char-set profile) and all of them keep the pytest-side oracle parity.
 _ROUND_NEW = [
-    "kb_char_sets", "kb_star_card", "embedding_incremental",
-    "cms_merged", "triangle_counts_capped", "kmv_merged",
+    "relation_candidates", "kb_char_sets", "kb_star_card",
+    "embedding_incremental", "cms_merged", "kmv_merged",
 ]
 
 #: the 41 operators with no driver CORRECTNESS row through round 3
@@ -1393,6 +1401,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
         "cms_merged": _q_cms_merged,
         "embedding_incremental": _q_embedding_incremental,
+        "relation_candidates": _q_relations,
         "kb_char_sets": _q_kb_char_sets,
         "kb_void": _q_kb_void,
         "kb_star_card": _q_kb_star_card,
@@ -1658,6 +1667,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ent:' || norm AS s, ':mentionCount' AS p,
                    CAST(count(*) AS VARCHAR) AS o
             FROM mentions GROUP BY norm
+        """,
+        # mirrors operators.relations.relation_candidates: same-turn
+        # mention pairs ≤ max_gap+1 apart, middle tokens (1-based
+        # inclusive list_slice == Spark's start+length slice) as the
+        # predicate surface, support-filtered
+        "relation_candidates": f"""
+            {_MENTIONS},
+            tt AS (
+              SELECT conv_id, turn_idx, string_split(lower(text), ' ') AS toks
+              FROM transcripts
+            ),
+            pairs AS (
+              SELECT a.conv_id, a.turn_idx,
+                     a.norm AS s_norm, a.pos AS sp,
+                     b.norm AS o_norm, b.pos AS op
+              FROM mentions a JOIN mentions b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND b.pos > a.pos AND b.pos - a.pos <= 4
+            ),
+            lab AS (
+              SELECT p.conv_id, s_norm, o_norm,
+                     array_to_string(list_slice(t.toks, p.sp + 2, p.op), ' ') AS pred
+              FROM pairs p JOIN tt t
+                ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+            )
+            SELECT s_norm, pred, o_norm,
+                   CAST(count(*) AS BIGINT) AS n_support,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM lab GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
         """,
         # mirrors kb_stats.characteristic_sets: per-subject sorted
         # distinct predicate set, then one row per distinct set
