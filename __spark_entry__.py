@@ -1288,10 +1288,15 @@ def _q_frame_sample(spark, sf_dir):
 # round-N additions, newest first (the rotation contract: new queries
 # enter here, displacing tail sentinels, never the uncertified block).
 # Capped at 6 so the parser/fixpoint/includes sentinel trio always
-# fits: overflow round-4 queries (cms_freq, kb_void) ride below the
-# window — their machinery is exercised by the in-window twins
-# (cms_merged runs sketch+merge+lookup; kb_star_card reads the
-# char-set profile) and all of them keep the pytest-side oracle parity.
+# fits.  Overflow round-4 queries ride below the window with
+# pytest-side oracle parity only: cms_freq, kb_void,
+# triangle_counts_capped, paragraph_neardup, source_weights — their
+# machinery is exercised by in-window twins (cms_merged runs
+# sketch+merge+lookup; kb_star_card reads the char-set profile;
+# triangle_counts is the uncapped base).  ROUND 5: once
+# CORRECTNESS_r04 certifies the current window, rotate those five to
+# the head here (the 41-row block will then be certified and can
+# rotate out in their favor).
 _ROUND_NEW = [
     "relation_candidates", "kb_char_sets", "kb_star_card",
     "embedding_incremental", "cms_merged", "kmv_merged",

@@ -107,28 +107,40 @@ def probe_buckets(col, dims: int = 6, hamming: int = 1):
     return F.array(own, *[_flip(own, i + 1, dims) for i in range(dims)])
 
 
-def ivf_topk(embeddings: DataFrame, k: int = 10, max_query_id: int = 20,
-             dims: int = 6, hamming: int = 0) -> DataFrame:
-    """(q, rank, vec_id, cos) — approximate top-k probing the query's
-    sign bucket (``hamming=0``) or its Hamming-≤1 shell (``hamming=1``,
-    multi-probe). Probe keys are equi-join columns, so the probe is a
-    co-partitioned join, not a cross-join; the query side explodes to
-    dims+1 probe rows (query side is the small broadcast side, so the
-    fan-out is driver-bounded, not corpus-bounded).  A corpus vector
-    matches at most one probe key per query (probe keys are distinct),
-    so no post-join dedup is needed."""
-    q = embeddings.select(
-        F.col("vec_id").alias("q"),
-        quantize(F.col("embedding")).alias("eq"),
-        F.explode(probe_buckets(F.col("embedding"), dims, hamming)).alias("bucket"),
-    ).where(F.col("q") < max_query_id)
-    t = embeddings.select(
-        F.col("vec_id").alias("vec_id"),
+def ivf_index(embeddings: DataFrame, dims: int = 6) -> DataFrame:
+    """(bucket, vec_id, et) — the PERSISTED corpus index: quantized
+    vectors keyed by their sign bucket.  Production writes it
+    ``.write.partitionBy("bucket").parquet(...)`` once per corpus
+    snapshot; every subsequent query batch probes the stored table
+    (:func:`ivf_search`) instead of re-quantizing 100 TB, and the
+    bucket partition column lets the probe join prune to the shell's
+    partitions (dynamic partition pruning off the broadcast query
+    side)."""
+    return embeddings.select(
+        F.col("vec_id"),
         quantize(F.col("embedding")).alias("et"),
         sign_bucket(F.col("embedding"), dims).alias("bucket"),
     )
+
+
+def ivf_search(index: DataFrame, queries: DataFrame, k: int = 10,
+               dims: int = 6, hamming: int = 0) -> DataFrame:
+    """(q, rank, vec_id, cos) — probe an :func:`ivf_index` table with
+    an arbitrary (vec_id, embedding) query batch: the query's own sign
+    bucket (``hamming=0``) or its Hamming-≤1 shell (``hamming=1``,
+    multi-probe).  Probe keys are equi-join columns, so the probe is a
+    co-partitioned join, not a cross-join; the query side explodes to
+    dims+1 probe rows (the small broadcast side, so the fan-out is
+    query-bounded, not corpus-bounded).  A corpus vector matches at
+    most one probe key per query (probe keys are distinct), so no
+    post-join dedup is needed."""
+    q = queries.select(
+        F.col("vec_id").alias("q"),
+        quantize(F.col("embedding")).alias("eq"),
+        F.explode(probe_buckets(F.col("embedding"), dims, hamming)).alias("bucket"),
+    )
     scored = (
-        F.broadcast(q).join(t, "bucket")
+        F.broadcast(q).join(index.select("bucket", "vec_id", "et"), "bucket")
         .where(F.col("q") != F.col("vec_id"))
         .withColumn("cos", _cos(F.col("eq"), F.col("et")))
     )
@@ -137,6 +149,21 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, max_query_id: int = 20,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q", "rank", "vec_id", "cos")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 10, max_query_id: int = 20,
+             dims: int = 6, hamming: int = 0) -> DataFrame:
+    """(q, rank, vec_id, cos) — build + search in one call (the
+    self-join convenience form; see :func:`ivf_index` /
+    :func:`ivf_search` for the persisted build-once/search-many split
+    a production deployment runs).  Delegating here means the
+    driver-certified `ann_ivf` / `ann_ivf_multiprobe` oracle rows
+    certify the split path too."""
+    return ivf_search(
+        ivf_index(embeddings, dims),
+        embeddings.where(F.col("vec_id") < max_query_id),
+        k=k, dims=dims, hamming=hamming,
     )
 
 
