@@ -937,6 +937,14 @@ def _q_relations(spark, sf_dir):
     return relation_candidates(transcripts(spark, sf_dir))
 
 
+def _q_relation_triples(spark, sf_dir):
+    """Mined relations as ent:-namespace KG triples (the loop closure:
+    the output unions with mention/entity triples unchanged)."""
+    from rdf_n3_spark.operators.relations import relation_triples
+
+    return relation_triples(transcripts(spark, sf_dir))
+
+
 def _q_kb_char_sets(spark, sf_dir):
     """Characteristic-set profile of the KB (Neumann & Moerkotte
     ICDE'11): one row per distinct per-subject predicate set."""
@@ -1407,6 +1415,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_merged": _q_cms_merged,
         "embedding_incremental": _q_embedding_incremental,
         "relation_candidates": _q_relations,
+        "relation_triples": _q_relation_triples,
         "kb_char_sets": _q_kb_char_sets,
         "kb_void": _q_kb_void,
         "kb_star_card": _q_kb_star_card,
@@ -1702,6 +1711,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM lab GROUP BY 1, 2, 3
             HAVING count(*) >= 2
+        """,
+        # mirrors operators.relations.relation_triples: the candidate
+        # miner + conversation-spread floor, projected into the ent:
+        # namespace with underscored predicate surfaces
+        "relation_triples": f"""
+            {_MENTIONS},
+            tt AS (
+              SELECT conv_id, turn_idx, string_split(lower(text), ' ') AS toks
+              FROM transcripts
+            ),
+            pairs AS (
+              SELECT a.conv_id, a.turn_idx,
+                     a.norm AS s_norm, a.pos AS sp,
+                     b.norm AS o_norm, b.pos AS op
+              FROM mentions a JOIN mentions b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND b.pos > a.pos AND b.pos - a.pos <= 4
+            ),
+            lab AS (
+              SELECT p.conv_id, s_norm, o_norm,
+                     array_to_string(list_slice(t.toks, p.sp + 2, p.op), ' ') AS pred
+              FROM pairs p JOIN tt t
+                ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+            )
+            SELECT 'ent:' || s_norm AS s,
+                   ':rel_' || replace(pred, ' ', '_') AS p,
+                   'ent:' || o_norm AS o
+            FROM lab GROUP BY s_norm, pred, o_norm
+            HAVING count(*) >= 2 AND count(DISTINCT conv_id) >= 2
         """,
         # mirrors kb_stats.characteristic_sets: per-subject sorted
         # distinct predicate set, then one row per distinct set

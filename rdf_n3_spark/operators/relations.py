@@ -70,3 +70,24 @@ def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
         )
         .where(F.col("n_support") >= min_support)
     )
+
+
+def relation_triples(transcripts: DataFrame, max_gap: int = 3,
+                     min_support: int = 2,
+                     min_convs: int = 2) -> DataFrame:
+    """(s, p, o) — mined relations as KG triples, closing the loop
+    from prose to store: subjects/objects under the same ``ent:``
+    namespace the mention pipeline emits (so they join the
+    canonicalization and materialization stages unchanged), predicate
+    = ``:rel_`` + the underscored middle span (``:rel_`` alone =
+    adjacency).  ``min_convs`` adds the conversation-spread floor on
+    top of raw support — the filter that drops quote-loops.  Union
+    this with `mention_triples ∪ entity_triples` and the downstream
+    graph_nodes/graph_edges/char-set machinery consumes it as-is."""
+    cand = relation_candidates(transcripts, max_gap, min_support)
+    return cand.where(F.col("n_convs") >= min_convs).select(
+        F.concat(F.lit("ent:"), F.col("s_norm")).alias("s"),
+        F.concat(F.lit(":rel_"),
+                 F.regexp_replace(F.col("pred"), " ", "_")).alias("p"),
+        F.concat(F.lit("ent:"), F.col("o_norm")).alias("o"),
+    )

@@ -54,3 +54,18 @@ def test_relation_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_relation_triples_namespace_and_floors(spark):
+    """Triples land in the mention pipeline's ent: namespace with
+    underscored :rel_ predicates; the conversation-spread floor drops
+    patterns confined to one conversation even at high support."""
+    from rdf_n3_spark.operators.relations import relation_triples
+
+    rows = (
+        [("c1", i, "part_a suppliedBy supp_x") for i in range(5)]  # 1 conv only
+        + [("c2", 0, "part_b madeBy supp_y"), ("c3", 0, "part_b madeBy supp_y")]
+    )
+    got = {(r["s"], r["p"], r["o"])
+           for r in relation_triples(_t(spark, rows)).collect()}
+    assert got == {("ent:part_b", ":rel_madeby", "ent:supp_y")}
