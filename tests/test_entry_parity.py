@@ -87,6 +87,12 @@ CROSS_SF = [
     # sf0.001 parity themselves
     "gopher_quality", "paragraph_dedup", "hash_embed", "graph_kcore",
     "lm_score", "dedup_incremental",
+    # round-4 queries (each was verified at both SFs when added; this
+    # pins the SF-independence going forward)
+    "kmv_merged", "cms_freq", "cms_merged", "triangle_counts_capped",
+    "embedding_incremental", "kb_char_sets", "kb_void", "kb_star_card",
+    "paragraph_neardup", "source_weights", "relation_candidates",
+    "relation_triples",
 ]
 
 
