@@ -1298,11 +1298,12 @@ def _q_frame_sample(spark, sf_dir):
 # Capped at 6 so the parser/fixpoint/includes sentinel trio always
 # fits.  Overflow round-4 queries ride below the window with
 # pytest-side oracle parity only: cms_freq, kb_void,
-# triangle_counts_capped, paragraph_neardup, source_weights — their
-# machinery is exercised by in-window twins (cms_merged runs
-# sketch+merge+lookup; kb_star_card reads the char-set profile;
-# triangle_counts is the uncapped base).  ROUND 5: once
-# CORRECTNESS_r04 certifies the current window, rotate those five to
+# triangle_counts_capped, paragraph_neardup, source_weights,
+# relation_triples — their machinery is exercised by in-window twins
+# (cms_merged runs sketch+merge+lookup; kb_star_card reads the
+# char-set profile; triangle_counts is the uncapped base;
+# relation_candidates is relation_triples' miner).  ROUND 5: once
+# CORRECTNESS_r04 certifies the current window, rotate those SIX to
 # the head here (the 41-row block will then be certified and can
 # rotate out in their favor).
 _ROUND_NEW = [
@@ -1577,6 +1578,31 @@ _CMS_SQL = """
     GROUP BY pc.tok
 """
 
+# shared mention-pair / middle-span CTE chain for the relation
+# oracles (the max_gap literal — gap 3 -> b.pos - a.pos <= 4 —
+# lives exactly once)
+_REL_LAB = f"""
+    {_MENTIONS},
+    tt AS (
+      SELECT conv_id, turn_idx, string_split(lower(text), ' ') AS toks
+      FROM transcripts
+    ),
+    pairs AS (
+      SELECT a.conv_id, a.turn_idx,
+             a.norm AS s_norm, a.pos AS sp,
+             b.norm AS o_norm, b.pos AS op
+      FROM mentions a JOIN mentions b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+       AND b.pos > a.pos AND b.pos - a.pos <= 4
+    ),
+    lab AS (
+      SELECT p.conv_id, s_norm, o_norm,
+             array_to_string(list_slice(t.toks, p.sp + 2, p.op), ' ') AS pred
+      FROM pairs p JOIN tt t
+        ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+    )
+"""
+
 _KMV_SQL = """
     WITH toks AS (
       SELECT source, unnest(string_split(lower(text), ' ')) AS tok
@@ -1687,25 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         # inclusive list_slice == Spark's start+length slice) as the
         # predicate surface, support-filtered
         "relation_candidates": f"""
-            {_MENTIONS},
-            tt AS (
-              SELECT conv_id, turn_idx, string_split(lower(text), ' ') AS toks
-              FROM transcripts
-            ),
-            pairs AS (
-              SELECT a.conv_id, a.turn_idx,
-                     a.norm AS s_norm, a.pos AS sp,
-                     b.norm AS o_norm, b.pos AS op
-              FROM mentions a JOIN mentions b
-                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
-               AND b.pos > a.pos AND b.pos - a.pos <= 4
-            ),
-            lab AS (
-              SELECT p.conv_id, s_norm, o_norm,
-                     array_to_string(list_slice(t.toks, p.sp + 2, p.op), ' ') AS pred
-              FROM pairs p JOIN tt t
-                ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
-            )
+            {_REL_LAB}
             SELECT s_norm, pred, o_norm,
                    CAST(count(*) AS BIGINT) AS n_support,
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -1716,25 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         # miner + conversation-spread floor, projected into the ent:
         # namespace with underscored predicate surfaces
         "relation_triples": f"""
-            {_MENTIONS},
-            tt AS (
-              SELECT conv_id, turn_idx, string_split(lower(text), ' ') AS toks
-              FROM transcripts
-            ),
-            pairs AS (
-              SELECT a.conv_id, a.turn_idx,
-                     a.norm AS s_norm, a.pos AS sp,
-                     b.norm AS o_norm, b.pos AS op
-              FROM mentions a JOIN mentions b
-                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
-               AND b.pos > a.pos AND b.pos - a.pos <= 4
-            ),
-            lab AS (
-              SELECT p.conv_id, s_norm, o_norm,
-                     array_to_string(list_slice(t.toks, p.sp + 2, p.op), ' ') AS pred
-              FROM pairs p JOIN tt t
-                ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
-            )
+            {_REL_LAB}
             SELECT 'ent:' || s_norm AS s,
                    ':rel_' || replace(pred, ' ', '_') AS p,
                    'ent:' || o_norm AS o
@@ -1746,7 +1736,9 @@ def oracle_sql() -> dict[str, str]:
         "kb_char_sets": f"""
             {_TRIPLES},
             per_s AS (
-              SELECT s, array_to_string(list_sort(list(DISTINCT p)), '|') AS cs,
+              SELECT s,
+                     array_to_string(list_sort(list(DISTINCT
+                       replace(replace(p, '%', '%25'), '|', '%7C'))), '|') AS cs,
                      count(*) AS nt
               FROM triples GROUP BY s
             )
@@ -2290,7 +2282,7 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                        unnest(string_split(text, chr(10))) AS para
                 FROM documents
               )
-              WHERE len(trim(para)) > 0
+              WHERE len(trim(para)) > 0 AND pos < 1048576
             ),
             {_DOC_SHINGLES.replace("WITH ", "", 1).replace("FROM documents)", "FROM paras)")},
             sym AS (SELECT a, b FROM ver

@@ -122,19 +122,26 @@ def main(argv=None) -> int:
 
     # Stage 3 (optional): the statistics a production store maintains
     # next to the data — tiny outputs (rows ∝ schema shapes, not
-    # corpus size), rewritten per batch, no lineage gate needed
-    if args.profile and not metrics.get("skipped"):
+    # corpus size), rewritten per batch, no lineage gate needed.  Runs
+    # even for a lineage-skipped batch (the triples plan is lazy off
+    # the staged mentions), so `--profile` can backfill statistics for
+    # an already-committed graph instead of silently writing nothing.
+    if args.profile:
         from rdf_n3_spark.operators.kb_stats import (
             characteristic_sets,
             void_stats,
         )
 
+        # both profile tables scan the same KB: pay the staged-mentions
+        # pass once, not once per table
+        triples.persist()
         prof = os.path.join(args.graph_root, "profile",
                             f"batch={args.batch_id}")
         void_stats(triples).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(prof, "void"))
         characteristic_sets(triples).coalesce(1).write.mode(
             "overwrite").parquet(os.path.join(prof, "char_sets"))
+        triples.unpersist()
         metrics["profile"] = prof
 
     print(json.dumps(metrics))

@@ -388,6 +388,11 @@ def paragraph_neardup(documents: DataFrame, threshold: float = 0.8):
             F.posexplode(F.split(F.col("text"), "\n")).alias("para_idx", "para"),
         )
         .where(F.length(F.trim("para")) > 0)
+        # enforce the packed-id contract instead of assuming it: a
+        # pathological document with ≥ 2^20 newline paragraphs would
+        # otherwise alias into the NEXT doc_id's range and silently
+        # attribute survivors to the wrong document
+        .where(F.col("para_idx") < _PARA_LIM)
         .select(
             (F.col("doc_id") * _PARA_LIM + F.col("para_idx")).alias("doc_id"),
             F.col("para").alias("text"),

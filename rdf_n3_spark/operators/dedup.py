@@ -460,6 +460,26 @@ def quantize(col, scale: int = 1000):
     return F.transform(col, lambda x: F.round(x * scale).try_cast("bigint"))
 
 
+def sq_norm(col):
+    """Exact bigint sum of squares of a quantized vector column (the
+    zero-norm guard input: > 0 ⇔ the vector survived quantization)."""
+    return F.aggregate(F.transform(col, lambda x: x * x),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def cos_expr(ea, eb):
+    """THE shared cosine discipline over two quantized vector columns:
+    exact bigint dot / product of correctly-rounded sqrt norms — one
+    IEEE division, bit-identical across engines and partitionings.
+    Every cosine in the engine (dedup verify, gate verify, ANN scoring
+    via similarity._cos) routes through this single definition so the
+    quantize/try_cast null-propagation contract can never drift."""
+    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y),
+                      F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return dot / (F.sqrt(sq_norm(ea).cast("double"))
+                  * F.sqrt(sq_norm(eb).cast("double")))
+
+
 #: random-hyperplane LSH defaults: BANDS_E band keys of BITS_E sign bits
 #: each (OR-amplification, SimHash-style).  2^BITS_E is the bucket count
 #: per band — the scale knob: grow BITS_E with the corpus so band
@@ -551,19 +571,10 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .select("a", "b")
         .distinct()
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v).cast("double")
-    )
     pairs = (
         cand.join(qe.select(F.col("vec_id").alias("a"), F.col("e").alias("ea")), "a")
         .join(qe.select(F.col("vec_id").alias("b"), F.col("e").alias("eb")), "b")
-        .withColumn("cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .withColumn("cos", cos_expr(F.col("ea"), F.col("eb")))
     )
     return pairs.where(F.col("cos") >= threshold).select("a", "b")
 
@@ -620,19 +631,10 @@ def _cos_verified(cand: DataFrame, left: DataFrame, right: DataFrame,
     rows with exact int-dot cosine ≥ threshold; zero-norm vectors are
     excluded BEFORE the division (NaN orders above every double in
     Spark, which would silently pass the test — the semdedup guard)."""
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
     joined = cand.join(left, cand.columns[0]).join(right, cand.columns[1])
     return (
-        joined.where((sq(F.col("ea")) > 0) & (sq(F.col("eb")) > 0))
-        .where(dot / (F.sqrt(sq(F.col("ea")).cast("double"))
-                      * F.sqrt(sq(F.col("eb")).cast("double"))) >= threshold)
+        joined.where((sq_norm(F.col("ea")) > 0) & (sq_norm(F.col("eb")) > 0))
+        .where(cos_expr(F.col("ea"), F.col("eb")) >= threshold)
     )
 
 
@@ -671,10 +673,7 @@ def incremental_embedding_neardup(new_vecs: DataFrame, corpus: DataFrame,
     # zero-norm vectors can never verify; exclude them from the
     # intra-batch self-pairs too (embedding_neardup_pairs has no guard
     # of its own — a NaN cosine would compare above the threshold)
-    nonzero = new_vecs.where(
-        F.aggregate(F.transform(quantize(F.col("embedding")), lambda x: x * x),
-                    F.lit(0).cast("bigint"), lambda acc, v: acc + v) > 0
-    )
+    nonzero = new_vecs.where(sq_norm(quantize(F.col("embedding"))) > 0)
     batch_pairs = embedding_neardup_pairs(
         nonzero, threshold, max_query_id=None, bands=bands, bits=bits,
         dims=dims)

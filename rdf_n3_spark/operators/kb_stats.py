@@ -32,16 +32,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _esc(p):
+    """Delimiter-safe predicate encoding for the cs string: '%'→'%25'
+    then '|'→'%7C', so a predicate CONTAINING '|' (mined relation
+    surfaces come from raw prose) can never collide {'a|b'} with
+    {'a','b'} — without escaping, those two distinct characteristic
+    sets would merge and star_cardinality's split would see phantom
+    predicates."""
+    return F.regexp_replace(F.regexp_replace(p, "%", "%25"), r"\|", "%7C")
+
+
+def _esc_py(p: str) -> str:
+    """Driver-side twin of :func:`_esc` for probe predicates."""
+    return p.replace("%", "%25").replace("|", "%7C")
+
+
 def characteristic_sets(triples: DataFrame) -> DataFrame:
     """(cs, n_subjects, n_triples) — one row per distinct
-    characteristic set: the '|'-joined sorted predicate set, how many
-    subjects carry exactly that set, and their total triple count.
+    characteristic set: the '|'-joined sorted predicate set
+    (predicates delimiter-escaped via :func:`_esc`), how many subjects
+    carry exactly that set, and their total triple count.
 
     Cardinality use: a star query over predicates P matches exactly
     sum(n_subjects) over the sets cs ⊇ P (distinct-subject
     semantics) — the ICDE'11 estimator, exact by construction."""
     per_subj = triples.groupBy("s").agg(
-        F.concat_ws("|", F.array_sort(F.collect_set("p"))).alias("cs"),
+        F.concat_ws("|", F.array_sort(F.collect_set(_esc(F.col("p")))))
+        .alias("cs"),
         F.count(F.lit(1)).cast("bigint").alias("nt"),
     )
     return per_subj.groupBy("cs").agg(
@@ -82,7 +99,7 @@ def star_cardinality(triples: DataFrame, predicates: list[str]) -> DataFrame:
         "ps", F.split(F.col("cs"), r"\|"))
     cond = F.lit(True)
     for p in predicates:
-        cond = cond & F.array_contains("ps", p)
+        cond = cond & F.array_contains("ps", _esc_py(p))
     return cs.where(cond).agg(
         F.coalesce(F.sum("n_subjects"), F.lit(0)).cast("bigint")
         .alias("n_subjects"))

@@ -31,20 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rdf_n3_spark.operators.dedup import cos_expr as _cos  # shared discipline
 from rdf_n3_spark.operators.dedup import quantize
-
-
-def _cos(ea, eb):
-    dot = F.aggregate(
-        F.zip_with(ea, eb, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v).cast("double")
-    )
-    return dot / (norm(ea) * norm(eb))
 
 
 def ann_topk_exact_oracle(embeddings: DataFrame, k: int = 10,

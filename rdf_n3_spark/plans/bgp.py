@@ -120,7 +120,13 @@ def order_patterns(patterns, predicate_counts: dict | None = None) -> list:
         pat = patterns[i]
         nv = len([t for t in pat if _is_var(t)])
         if predicate_counts is not None and not _is_var(pat[1]):
-            est = predicate_counts.get(pat[1], big)
+            # absent from the profile = ZERO known triples: the most
+            # selective seat possible (it empties the join instantly,
+            # so everything after it is skipped-by-emptiness).  This
+            # means a supplied profile must COVER the store — a stale
+            # profile missing live predicates misorders (never
+            # miscomputes); pass None rather than a partial profile.
+            est = predicate_counts.get(pat[1], 0)
         else:
             est = big
         return (nv, est, i)

@@ -47,38 +47,24 @@ def stream_neardup_gate(stream: DataFrame, corpus: DataFrame,
     join chain): the gate's verdict needs an intra-batch self-join and
     two left joins, which Structured Streaming cannot express as one
     incremental plan, while per-batch the BATCH operator — already
-    oracle-gated — runs unchanged.  Exactly-once: the sink is
-    partitioned by the epoch id and written with DYNAMIC partition
-    overwrite, so a crash between the parquet write and the streaming
-    checkpoint commit replays the epoch onto ITS OWN partition —
-    overwriting the half-written output rather than appending a second
-    copy (same batch ⇒ same verdict ⇒ identical partition contents).
-    Other epochs' partitions are untouched (dynamic mode overwrites
-    only partitions present in the write).
+    oracle-gated — runs unchanged.  Exactly-once comes from the shared
+    :func:`rdf_n3_spark.streaming.sink.epoch_overwrite_sink` scaffold
+    (epoch-partitioned dynamic overwrite: a crash-replayed epoch
+    overwrites its own partition, never appending a second copy).
 
     Scale: per micro-batch work is index-sized + batch-sized (the
     whole point of the one-row-per-band-key index); the corpus tables
     are static snapshots refreshed between runs, exactly how a
     production gate consumes yesterday's index."""
     from rdf_n3_spark.operators.dedup import incremental_neardup
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
 
-    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+    def kept(batch_df: DataFrame, epoch_id: int) -> DataFrame:
         verdict = incremental_neardup(batch_df, corpus, threshold)
-        (
-            batch_df.join(verdict.where(F.col("keep") == 1).select("doc_id"),
-                          "doc_id")
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(out_dir)
-        )
+        return batch_df.join(
+            verdict.where(F.col("keep") == 1).select("doc_id"), "doc_id")
 
-    return (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return epoch_overwrite_sink(stream, out_dir, checkpoint_dir, kept)
 
 
 def stream_embedding_gate(stream: DataFrame, corpus: DataFrame,
@@ -92,27 +78,14 @@ def stream_embedding_gate(stream: DataFrame, corpus: DataFrame,
     and only ``keep=1`` rows are appended to ``out_dir``.
 
     Same harness and exactly-once discipline as
-    :func:`stream_neardup_gate`: ``foreachBatch`` (the verdict needs an
-    intra-batch self-join Structured Streaming can't express
-    incrementally), epoch-partitioned DYNAMIC partition overwrite so a
-    crash-replayed epoch overwrites its own partition instead of
-    appending a second copy."""
+    :func:`stream_neardup_gate` via the shared
+    :func:`rdf_n3_spark.streaming.sink.epoch_overwrite_sink` scaffold."""
     from rdf_n3_spark.operators.dedup import incremental_embedding_neardup
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
 
-    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+    def kept(batch_df: DataFrame, epoch_id: int) -> DataFrame:
         verdict = incremental_embedding_neardup(batch_df, corpus, threshold)
-        (
-            batch_df.join(verdict.where(F.col("keep") == 1).select("vec_id"),
-                          "vec_id")
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(out_dir)
-        )
+        return batch_df.join(
+            verdict.where(F.col("keep") == 1).select("vec_id"), "vec_id")
 
-    return (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return epoch_overwrite_sink(stream, out_dir, checkpoint_dir, kept)

@@ -37,23 +37,14 @@ from rdf_n3_spark.operators.sketch import (
 def stream_kmv_rollup(stream: DataFrame, out_dir: str, checkpoint_dir: str,
                       key: str, value_col: str, k: int = 64):
     """Write one KMV sketch row per key per epoch to ``out_dir``
-    (epoch-partitioned).  Finish with :func:`read_kmv_rollup`."""
+    (epoch-partitioned, via the shared
+    :func:`rdf_n3_spark.streaming.sink.epoch_overwrite_sink`).
+    Finish with :func:`read_kmv_rollup`."""
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
 
-    def roll(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            kmv_sketch(batch_df, key, F.col(value_col), k=k)
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(out_dir)
-        )
-
-    return (
-        stream.writeStream.foreachBatch(roll)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return epoch_overwrite_sink(
+        stream, out_dir, checkpoint_dir,
+        lambda batch_df, _e: kmv_sketch(batch_df, key, F.col(value_col), k=k))
 
 
 def read_kmv_rollup(spark: SparkSession, out_dir: str, key: str,
@@ -68,23 +59,14 @@ def read_kmv_rollup(spark: SparkSession, out_dir: str, key: str,
 def stream_cms_rollup(stream: DataFrame, out_dir: str, checkpoint_dir: str,
                       value_col: str, depth: int = 4, width: int = 8192):
     """Write one count-min sketch (≤ depth×width rows) per epoch to
-    ``out_dir``.  Probe with :func:`read_cms_rollup`."""
+    ``out_dir`` (shared epoch-overwrite sink).  Probe with
+    :func:`read_cms_rollup`."""
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
 
-    def roll(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            cms_sketch(batch_df, F.col(value_col), depth=depth, width=width)
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(out_dir)
-        )
-
-    return (
-        stream.writeStream.foreachBatch(roll)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return epoch_overwrite_sink(
+        stream, out_dir, checkpoint_dir,
+        lambda batch_df, _e: cms_sketch(batch_df, F.col(value_col),
+                                        depth=depth, width=width))
 
 
 def read_cms_rollup(spark: SparkSession, out_dir: str, probes: DataFrame,
