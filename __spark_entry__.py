@@ -1281,60 +1281,52 @@ def _q_frame_sample(spark, sf_dir):
 
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# queries() in dict order (CORRECTNESS_r03.json == queries()[0:50]).
-# Rounds 2-3 appended new operators at the tail, so the whole
-# text/curation/events/graph-algo/clustering surface sat outside the
-# window with only the pytest-side oracle parity (the identical check,
-# but not the driver artifact).  _DRIVER_WINDOW pins the window to:
-# every operator that has never had a driver-green row, plus §2
-# sentinels (parser, writer, fixpoint, includes, math builtins) and
-# north-rule representatives (transcripts, canon, materialize,
-# minhash) so reference-surface regressions stay driver-visible.
-# tests/test_entry_parity.py::test_driver_window_covers_uncertified
-# pins the invariant; queries added in FUTURE rounds go at the head of
-# this list (displacing sentinels, never the uncertified block).
-# round-N additions, newest first (the rotation contract: new queries
-# enter here, displacing tail sentinels, never the uncertified block).
-# Capped at 6 so the parser/fixpoint/includes sentinel trio always
-# fits.  Overflow round-4 queries ride below the window with
-# pytest-side oracle parity only: cms_freq, kb_void,
-# triangle_counts_capped, paragraph_neardup, source_weights,
-# relation_triples — their machinery is exercised by in-window twins
-# (cms_merged runs sketch+merge+lookup; kb_star_card reads the
-# char-set profile; triangle_counts is the uncapped base;
-# relation_candidates is relation_triples' miner).  ROUND 5: once
-# CORRECTNESS_r04 certifies the current window, rotate those SIX to
-# the head here (the 41-row block will then be certified and can
-# rotate out in their favor).
+# queries() in dict order.  Rotation history: round 3 appended new
+# operators at the tail (leaving 41 rows driver-unverified), round 4
+# pinned the window to the never-certified block (all 41 went green in
+# CORRECTNESS_r04) but its own 6 newest overflowed.  ROUND 5 completes
+# the rotation: those six formerly-overflow queries (cms_freq,
+# relation_triples, kb_void, source_weights, paragraph_neardup,
+# triangle_counts_capped) lead the window, so after CORRECTNESS_r05
+# every one of the 103 queries has a driver-green row in some round's
+# artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
+# pins the invariant.  Rotation contract for FUTURE rounds: genuinely
+# new queries enter at the head of _ROUND_NEW; _RECERTIFY is the
+# priority-ordered re-certification slate (reference §2 surface first,
+# then north-rule reps, then the heaviest beyond-reference machinery)
+# truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
-    "relation_candidates", "kb_char_sets", "kb_star_card",
-    "embedding_incremental", "cms_merged", "kmv_merged",
+    # round-5 additions enter here, newest first
+    # the six round-4 queries that overflowed CORRECTNESS_r04's window
+    # (pytest-oracle green since r4; driver-certified this round)
+    "cms_freq", "relation_triples", "kb_void", "source_weights",
+    "paragraph_neardup", "triangle_counts_capped",
 ]
 
-#: the 41 operators with no driver CORRECTNESS row through round 3
-_NEVER_CERTIFIED = [
-    "text_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "text_redact", "text_repetition", "decontaminate", "pack_sequences",
-    "curate_corpus", "corpus_split", "doc_chunks", "chunk_dedup",
-    "keyword_topk", "search_topk", "kmv_distinct", "corpus_sample",
-    "stratified_sample", "shuffle_shards", "source_mix",
-    "graph_pagerank", "comention_edges", "graph_kcore", "lm_score",
-    "hash_embed", "gopher_quality", "paragraph_dedup", "triangle_counts",
-    "events_asof", "event_rollup", "event_sessions", "event_quantiles",
-    "event_histogram_quantiles", "boilerplate_ngrams", "boilerplate_share",
-    "substring_spans", "substring_dedup", "dedup_source_matrix",
-    "dedup_incremental", "embed_kmeans", "semdedup_prune", "cluster_sample",
-]
-
-#: §2 sentinels + north-rule representatives (all green in r1-r3),
-#: priority order: truncated from the tail as _ROUND_NEW grows so the
-#: window stays exactly 50
-_SENTINELS = [
+#: re-certification slate, priority order (sentinel trio first —
+#: parser / fixpoint / includes must stay driver-visible every round)
+_RECERTIFY = [
     "n3_parse_udf", "rule_closure", "graph_includes", "builtin_math",
     "transcripts_build", "n3_write_udf", "entity_canon",
+    # the rest of the reference §2 surface
+    "bgp_solutions", "rule_infer", "rule_builtin_infer",
+    "rule_conclusions", "graph_closure", "graph_conclusions",
+    "builtin_string", "builtin_time", "builtin_list",
+    "graph_includes_join", "graph_not_includes", "output_strings",
+    "list_ladder", "list_contract",
+    # north-rule pipeline representatives
+    "mention_extract", "triple_emit", "entity_agg", "graph_nodes",
+    "graph_edges", "entity_agg_salted", "entity_surfaces_salted",
+    "triples_canonical", "kb_diff",
+    # heaviest beyond-reference machinery
+    "lsh_candidate_pairs", "entity_link_scores", "entity_link_best",
+    "media_metadata", "media_features", "frame_sample",
+    "dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_clusters",
+    "dedup_simhash", "dedup_embedding", "ann_topk",
+    "ann_ivf_multiprobe",
 ]
 
-_DRIVER_WINDOW = (_ROUND_NEW + _NEVER_CERTIFIED + _SENTINELS)[:50]
+_DRIVER_WINDOW = (_ROUND_NEW + _RECERTIFY)[:50]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

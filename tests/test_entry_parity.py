@@ -37,25 +37,30 @@ def test_all_queries_have_oracles_or_are_flagged():
 
 
 def test_driver_window_covers_uncertified():
-    """The driver certifies queries()[0:50] only (VERDICT r3 item 1):
-    the first 50 keys must contain every operator that had no driver
-    CORRECTNESS row through round 3, and the ordering helper must not
-    drop or duplicate any query."""
+    """The driver certifies queries()[0:50] only.  Round-5 rotation
+    invariant (VERDICT r4 item 1): the six round-4 overflow queries —
+    the last rows with no driver CORRECTNESS artifact through r4 —
+    lead the window, new-round queries enter ahead of the re-cert
+    slate, and the ordering helper must not drop or duplicate any
+    query."""
     names = list(QUERIES)
     assert len(names) == len(set(names))
     window = set(names[:50])
-    never_certified = set(entry_mod._NEVER_CERTIFIED)
-    assert len(never_certified) == 41
-    assert never_certified <= window
+    overflow_r4 = {
+        "cms_freq", "relation_triples", "kb_void", "source_weights",
+        "paragraph_neardup", "triangle_counts_capped",
+    }
+    assert overflow_r4 <= set(entry_mod._ROUND_NEW)
     # every round's new queries enter the window head (rotation contract)
     assert set(entry_mod._ROUND_NEW) <= window
+    assert list(QUERIES)[: len(entry_mod._ROUND_NEW)] == entry_mod._ROUND_NEW
     assert len(entry_mod._DRIVER_WINDOW) == 50
-    # the highest-priority §2 sentinels stay driver-visible: whatever
-    # sentinel prefix still fits after the round's new queries, and
-    # never fewer than the parser/fixpoint/includes trio
-    n_fit = 50 - len(entry_mod._ROUND_NEW) - len(entry_mod._NEVER_CERTIFIED)
-    assert n_fit >= 3, "round added too many queries; rotate _NEVER_CERTIFIED"
-    assert set(entry_mod._SENTINELS[:n_fit]) <= window
+    # the highest-priority re-cert rows stay driver-visible: whatever
+    # prefix still fits after the round's new queries, and never fewer
+    # than the parser/fixpoint/includes sentinel trio
+    n_fit = 50 - len(entry_mod._ROUND_NEW)
+    assert n_fit >= 3, "round added too many queries; shrink _ROUND_NEW"
+    assert set(entry_mod._RECERTIFY[:n_fit]) <= window
     assert {"n3_parse_udf", "rule_closure", "graph_includes"} <= window
 
 
