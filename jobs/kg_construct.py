@@ -16,10 +16,15 @@ Cluster submission (north rule: "runs via spark-submit --py-files"):
 
 The job body is the library pipeline: read transcripts → explicit
 repartition by conv_id (north rule) → mention extraction → skolemized
-triple emission ∪ entity aggregate → graph materialization with
-per-partition lineage rows + metric counters. Re-running with the same
---batch-id is a no-op (checkpointed resume, lineage-gated); a crashed
-run re-does only its own uncommitted files.
+triple emission ∪ entity aggregate (∪ mined relations with
+--relations) → graph materialization with per-partition lineage rows +
+metric counters. Re-running with the same --batch-id is a no-op
+(checkpointed resume, lineage-gated); a crashed run re-does only its
+own uncommitted files.  --profile writes the KB statistics (VoID +
+characteristic sets) over the COMMITTED store with a coverage
+fingerprint; :func:`run_bgp` closes the loop, feeding the written
+profile back into the BGP planner's join ordering iff the fingerprint
+still matches the store.
 
 Local smoke: python jobs/kg_construct.py --sf-dir /root/testdata/sf0.001
              --graph-root /tmp/kg --batch-id b0
@@ -54,7 +59,13 @@ def main(argv=None) -> int:
                     help="also write the KB statistics profile beside the "
                     "graph: VoID per-predicate counts (the predicate_counts "
                     "input for plans/bgp.order_patterns) + characteristic "
-                    "sets (exact star-join cardinalities)")
+                    "sets (exact star-join cardinalities) + the coverage "
+                    "fingerprint run_bgp's planner guard checks")
+    ap.add_argument("--relations", action="store_true",
+                    help="also mine pattern-based relation triples from the "
+                    "staged mentions (operators/relations.relation_triples) "
+                    "and union them into the triple stream before "
+                    "materialization")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -116,36 +127,74 @@ def main(argv=None) -> int:
         extract_mentions(t).write.mode("overwrite").parquet(m_path)
     m = spark.read.parquet(m_path)
 
-    # Stage 2: both triple families derive from the staged mentions.
+    # Stage 2: every triple family derives from the staged mentions —
+    # asserted facts (skolemized mention triples + entity aggregates)
+    # plus, with --relations, the mined relation tier: ent:→ent: edges
+    # whose predicates come from the prose between co-occurring
+    # mentions (support + conversation-spread floored), in the same
+    # namespace so canonicalization / materialization / char-set
+    # machinery consume them unchanged.
     triples = mention_triples(m).unionByName(entity_triples(m))
+    if args.relations:
+        from rdf_n3_spark.operators.relations import relation_triples
+
+        triples = triples.unionByName(relation_triples(t, mentions=m))
     metrics = materialize_graph(spark, triples, args.graph_root, args.batch_id)
 
     # Stage 3 (optional): the statistics a production store maintains
     # next to the data — tiny outputs (rows ∝ schema shapes, not
-    # corpus size), rewritten per batch, no lineage gate needed.  Runs
-    # even for a lineage-skipped batch (the triples plan is lazy off
-    # the staged mentions), so `--profile` can backfill statistics for
-    # an already-committed graph instead of silently writing nothing.
+    # corpus size), rewritten per batch, no lineage gate needed.  The
+    # profile scans the COMMITTED store read back through the lineage
+    # gate (not just this batch's stream), so its coverage fingerprint
+    # (the committed-batch set) is honest: run_bgp's planner guard
+    # accepts it exactly until the next batch commits.  Running
+    # --profile for a lineage-skipped batch therefore still works — it
+    # backfills statistics for the already-committed graph.
     if args.profile:
-        from rdf_n3_spark.operators.kb_stats import (
-            characteristic_sets,
-            void_stats,
+        from pyspark.sql import functions as F
+
+        from rdf_n3_spark.operators.kb_stats import write_profile
+        from rdf_n3_spark.operators.materialize import (
+            committed_batches,
+            read_graph,
         )
 
-        # both profile tables scan the same KB: pay the staged-mentions
-        # pass once, not once per table
-        triples.persist()
-        prof = os.path.join(args.graph_root, "profile",
-                            f"batch={args.batch_id}")
-        void_stats(triples).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(prof, "void"))
-        characteristic_sets(triples).coalesce(1).write.mode(
-            "overwrite").parquet(os.path.join(prof, "char_sets"))
-        triples.unpersist()
-        metrics["profile"] = prof
+        store = (
+            read_graph(spark, args.graph_root, "edges").select("s", "p", "o")
+            .unionByName(
+                read_graph(spark, args.graph_root, "node_props")
+                .select("s", "p", F.col("val").alias("o")))
+        )
+        metrics["profile"] = write_profile(
+            spark, store, args.graph_root, args.batch_id,
+            covers=committed_batches(spark, args.graph_root))
 
     print(json.dumps(metrics))
     return 0
+
+
+def run_bgp(spark, graph_root: str, patterns):
+    """Answer a BGP over the materialized store, planner fed by the
+    job's own --profile output — the statistics feedback loop: the
+    profile's exact star cardinalities (characteristic sets) and VoID
+    counts refine the join order via plans/bgp.order_patterns, and the
+    coverage-fingerprint guard (kb_stats.load_profile) silently falls
+    back to statistics-free ordering the moment the store outgrows the
+    profile (a stale profile refines NOTHING rather than misordering).
+    """
+    from pyspark.sql import functions as F
+
+    from rdf_n3_spark.operators.kb_stats import load_profile
+    from rdf_n3_spark.operators.materialize import read_graph
+    from rdf_n3_spark.plans.bgp import bgp
+
+    store = (
+        read_graph(spark, graph_root, "edges").select("s", "p", "o")
+        .unionByName(read_graph(spark, graph_root, "node_props")
+                     .select("s", "p", F.col("val").alias("o")))
+    )
+    counts, cs = load_profile(spark, graph_root)
+    return bgp(store, patterns, predicate_counts=counts, star_cards=cs)
 
 
 if __name__ == "__main__":

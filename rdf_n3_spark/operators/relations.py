@@ -33,7 +33,8 @@ from rdf_n3_spark.operators.mentions import extract_mentions
 
 
 def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
-                        min_support: int = 2) -> DataFrame:
+                        min_support: int = 2,
+                        mentions: DataFrame | None = None) -> DataFrame:
     """(s_norm, pred, o_norm, n_support, n_convs) — candidate relation
     triples: ordered mention pairs within one turn separated by 1 to
     ``max_gap`` predicate tokens (lowercased, space-joined middle
@@ -41,8 +42,15 @@ def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
     (subject, predicate, object) pattern occurs ≥ ``min_support``
     times corpus-wide.  ``n_convs`` = distinct conversations the
     pattern appears in (a pattern stuck inside ONE conversation is a
-    quote-loop, not a relation)."""
-    m = extract_mentions(transcripts).select("conv_id", "turn_idx", "pos", "norm")
+    quote-loop, not a relation).
+
+    ``mentions``: pre-staged ``extract_mentions`` output — the batch
+    job materializes mentions once (_SUCCESS-gated) and feeds every
+    consumer from the staged table, so passing it here avoids a second
+    full tokenize pass over the corpus."""
+    m = (mentions if mentions is not None
+         else extract_mentions(transcripts)).select(
+        "conv_id", "turn_idx", "pos", "norm")
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(b, ["conv_id", "turn_idx"]).where(
         (F.col("b.pos") > F.col("a.pos"))
@@ -74,7 +82,8 @@ def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
 
 def relation_triples(transcripts: DataFrame, max_gap: int = 3,
                      min_support: int = 2,
-                     min_convs: int = 2) -> DataFrame:
+                     min_convs: int = 2,
+                     mentions: DataFrame | None = None) -> DataFrame:
     """(s, p, o) — mined relations as KG triples, closing the loop
     from prose to store: subjects/objects under the same ``ent:``
     namespace the mention pipeline emits (so they join the
@@ -84,7 +93,8 @@ def relation_triples(transcripts: DataFrame, max_gap: int = 3,
     top of raw support — the filter that drops quote-loops.  Union
     this with `mention_triples ∪ entity_triples` and the downstream
     graph_nodes/graph_edges/char-set machinery consumes it as-is."""
-    cand = relation_candidates(transcripts, max_gap, min_support)
+    cand = relation_candidates(transcripts, max_gap, min_support,
+                               mentions=mentions)
     return cand.where(F.col("n_convs") >= min_convs).select(
         F.concat(F.lit("ent:"), F.col("s_norm")).alias("s"),
         F.concat(F.lit(":rel_"),

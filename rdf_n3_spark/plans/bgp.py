@@ -85,7 +85,8 @@ def match_pattern(triples: DataFrame, pat, keep_graph: bool = False) -> DataFram
     return df.select(*cols)
 
 
-def order_patterns(patterns, predicate_counts: dict | None = None) -> list:
+def order_patterns(patterns, predicate_counts: dict | None = None,
+                   star_cards: list | None = None) -> list:
     """Greedy selectivity + connectivity join order for the BGP fold —
     returns a permutation of pattern indices.
 
@@ -99,10 +100,31 @@ def order_patterns(patterns, predicate_counts: dict | None = None) -> list:
     2. SELECTIVITY: among eligible patterns, fewest variable positions
        first (a ground or 1-var pattern filters hardest at the scan —
        Catalyst pushes the constant equality into the parquet reader),
-       tie-broken by the predicate's triple count when a
-       ``predicate_counts`` profile (e.g. a collected
-       `kb_stats.void_stats`) is supplied, then by input position so
-       the order is deterministic.
+       tie-broken by statistics when supplied, then by input position
+       so the order is deterministic.
+
+    Statistics, most-refined first:
+
+    * ``star_cards`` — a collected characteristic-set profile
+      (`kb_stats.load_char_sets`): when the candidate extends a star
+      already under construction (its subject variable has ground-
+      predicate seats among the chosen patterns), the estimate is the
+      EXACT distinct-subject cardinality of the joint star
+      (ICDE'11 superset sum) — two individually-frequent but
+      jointly-rare predicates order correctly where per-predicate
+      counts mislead.
+    * ``predicate_counts`` — a collected VoID profile
+      (`kb_stats.load_predicate_counts`): the predicate's triple
+      count, used when no star context applies.
+
+    Absent-from-profile = ZERO cardinality = the most selective seat
+    possible (it empties the join instantly, so everything after it is
+    skipped-by-emptiness).  This means a supplied profile must COVER
+    the store — a stale profile missing live predicates misorders
+    (never miscomputes).  `kb_stats.load_profile` ENFORCES that
+    contract: it returns (None, None) unless the profile's coverage
+    fingerprint matches the store's committed batches — load profiles
+    through it rather than handing this function a partial dict.
 
     Inner equi-joins commute and the fold ends in dropDuplicates, so
     any order returns the same solution set (pinned by
@@ -115,18 +137,20 @@ def order_patterns(patterns, predicate_counts: dict | None = None) -> list:
         return {t for t in patterns[i] if _is_var(t)}
 
     big = 1 << 62
+    # subject var → ground predicates of already-chosen seats: the
+    # star under construction that star_cards can price exactly
+    subj_preds: dict[str, set] = {}
 
     def key(i):
         pat = patterns[i]
         nv = len([t for t in pat if _is_var(t)])
-        if predicate_counts is not None and not _is_var(pat[1]):
-            # absent from the profile = ZERO known triples: the most
-            # selective seat possible (it empties the join instantly,
-            # so everything after it is skipped-by-emptiness).  This
-            # means a supplied profile must COVER the store — a stale
-            # profile missing live predicates misorders (never
-            # miscomputes); pass None rather than a partial profile.
-            est = predicate_counts.get(pat[1], 0)
+        s, p = pat[0], pat[1]
+        if (star_cards is not None and _is_var(s) and not _is_var(p)
+                and subj_preds.get(s)):
+            est = sum(n for cs, n in star_cards
+                      if subj_preds[s] | {p} <= cs)
+        elif predicate_counts is not None and not _is_var(p):
+            est = predicate_counts.get(p, 0)
         else:
             est = big
         return (nv, est, i)
@@ -140,12 +164,16 @@ def order_patterns(patterns, predicate_counts: dict | None = None) -> list:
         order.append(nxt)
         remaining.remove(nxt)
         bound |= vars_of(nxt)
+        s, p = patterns[nxt][0], patterns[nxt][1]
+        if _is_var(s) and not _is_var(p):
+            subj_preds.setdefault(s, set()).add(p)
     return order
 
 
 def bgp(triples: DataFrame, patterns, sources=None, keep_graph: bool = False,
         pattern_cache: dict | None = None,
-        predicate_counts: dict | None = None) -> DataFrame:
+        predicate_counts: dict | None = None,
+        star_cards: list | None = None) -> DataFrame:
     """Conjunctive pattern join. ``sources`` optionally overrides the
     store per pattern seat (used by the semi-naive delta rounds).
 
@@ -171,7 +199,7 @@ def bgp(triples: DataFrame, patterns, sources=None, keep_graph: bool = False,
     seats the same logical subplan).
     """
     sol = None
-    for i in order_patterns(patterns, predicate_counts):
+    for i in order_patterns(patterns, predicate_counts, star_cards):
         pat = patterns[i]
         src = sources[i] if sources is not None else triples
         if pattern_cache is not None:

@@ -131,3 +131,48 @@ def test_order_patterns_properties():
             bound |= vs(i)
 
     check()
+
+
+def test_char_sets_beat_misleading_counts():
+    """VERDICT r4 item 5: a star of two individually-frequent but
+    jointly-rare predicates must order correctly.  Solo VoID counts say
+    Q (10 triples) before R (1000 triples); the characteristic-set
+    profile knows the JOINT star {P,R} matches 4 subjects while {P,Q}
+    matches 502 — so with star_cards, R's seat joins second."""
+    pats = [("?s", "P", "?a"), ("?s", "Q", "?b"), ("?s", "R", "?c")]
+    counts = {"P": 1, "Q": 10, "R": 1000}
+    cs = [
+        (frozenset({"P", "Q"}), 500),
+        (frozenset({"P", "Q", "R"}), 2),
+        (frozenset({"P", "R"}), 2),
+    ]
+    # counts alone mislead: Q's low solo count wins the second seat
+    assert order_patterns(pats, counts) == [0, 1, 2]
+    # the cs profile prices the joint stars exactly: R second
+    assert order_patterns(pats, counts, star_cards=cs) == [0, 2, 1]
+
+
+def test_char_sets_order_preserves_solutions(spark):
+    """cs-refined ordering is still just a permutation: the solution
+    set equals the statistics-free fold on real data."""
+    rows = (
+        [(f"a{i}", "P", "x") for i in range(6)]
+        + [(f"a{i}", "Q", "y") for i in range(5)]   # {P,Q} star common
+        + [("a0", "R", "z")]                          # {P,Q,R} star rare
+    )
+    store = spark.createDataFrame(rows, ["s", "p", "o"])
+    pats = [("?s", "P", "?a"), ("?s", "Q", "?b"), ("?s", "R", "?c")]
+    from rdf_n3_spark.operators.kb_stats import (
+        characteristic_sets,
+        load_char_sets,
+        load_predicate_counts,
+        void_stats,
+    )
+
+    counts = load_predicate_counts(void_stats(store))
+    cards = load_char_sets(characteristic_sets(store))
+    want = _rows(bgp(store, pats))
+    assert want == {tuple(sorted({"s": "a0", "a": "x", "b": "y",
+                                  "c": "z"}.items()))}
+    assert _rows(bgp(store, pats, predicate_counts=counts,
+                     star_cards=cards)) == want

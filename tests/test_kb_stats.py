@@ -94,3 +94,81 @@ def test_profile_feeds_bgp_ordering(spark):
     assert counts == {"name": 5, "age": 3, "city": 1}
     pats = [("?s", "name", "?n"), ("?s", "city", "?c"), ("?s", "age", "?a")]
     assert order_patterns(pats, counts) == [1, 2, 0]
+
+
+def test_char_sets_roundtrip_escaped_predicates(spark):
+    """load_char_sets inverts the delimiter escaping: a predicate
+    containing '|' or '%' survives profile → collect → superset-sum."""
+    from rdf_n3_spark.operators.kb_stats import (
+        load_char_sets,
+        star_card_from_cs,
+    )
+
+    kb = spark.createDataFrame(
+        [("s1", "a|b", "x"), ("s1", "c%d", "y"), ("s2", "a|b", "z")],
+        ["s", "p", "o"],
+    )
+    cards = load_char_sets(characteristic_sets(kb))
+    assert set(cards) == {
+        (frozenset({"a|b"}), 1),
+        (frozenset({"a|b", "c%d"}), 1),
+    }
+    assert star_card_from_cs(cards, ["a|b"]) == 2
+    assert star_card_from_cs(cards, ["a|b", "c%d"]) == 1
+    assert star_card_from_cs(cards, ["a", "b"]) == 0  # no phantom split
+
+
+def test_profile_coverage_guard(spark, tmp_path):
+    """VERDICT r4 item 4: load_profile hands statistics to the planner
+    ONLY while the profile's coverage fingerprint matches the store's
+    committed batches — a stale profile (written before a later batch
+    committed) yields (None, None), never a partial dict that would
+    misorder via absent-predicate = zero-cardinality."""
+    from rdf_n3_spark.operators.kb_stats import load_profile, write_profile
+    from rdf_n3_spark.operators.materialize import materialize_graph
+
+    root = str(tmp_path / "graph")
+    t0 = spark.createDataFrame(
+        [("ent:a", ":refersTo", "ent:b"), ("ent:a", ":name", "alice")],
+        ["s", "p", "o"],
+    )
+    materialize_graph(spark, t0, root, "b0")
+    write_profile(spark, t0, root, "b0", covers={"b0"})
+    counts, cards = load_profile(spark, root)
+    assert counts == {":refersTo": 1, ":name": 1}
+    assert (frozenset({":refersTo", ":name"}), 1) in cards
+
+    # a second batch commits with a NEW predicate the profile has
+    # never seen — exactly the stale case the guard must reject
+    t1 = spark.createDataFrame([("ent:c", ":age", "9")], ["s", "p", "o"])
+    materialize_graph(spark, t1, root, "b1")
+    assert load_profile(spark, root) == (None, None)
+
+    # refreshing the profile over the full store restores statistics
+    full = t0.unionByName(t1)
+    write_profile(spark, full, root, "b1", covers={"b0", "b1"})
+    counts2, cards2 = load_profile(spark, root)
+    assert counts2 == {":refersTo": 1, ":name": 1, ":age": 1}
+    assert len(cards2) >= 2
+
+
+def test_profile_guard_rejects_truncated_table(spark, tmp_path):
+    """A profile whose void table lost rows (manual tamper / partial
+    copy) fails the n_predicates fingerprint."""
+    from rdf_n3_spark.operators.kb_stats import load_profile, write_profile
+    from rdf_n3_spark.operators.materialize import materialize_graph
+
+    root = str(tmp_path / "graph")
+    t0 = spark.createDataFrame(
+        [("ent:a", ":p1", "x"), ("ent:a", ":p2", "y")], ["s", "p", "o"])
+    materialize_graph(spark, t0, root, "b0")
+    write_profile(spark, t0, root, "b0", covers={"b0"})
+    assert load_profile(spark, root)[0] is not None
+    # rewrite the void table with one predicate missing
+    import os
+    void_dir = os.path.join(root, "profile", "batch=b0", "void")
+    void = spark.read.parquet(void_dir).where(F.col("p") == ":p1")
+    void.coalesce(1).write.mode("overwrite").parquet(void_dir + "_tmp")
+    spark.read.parquet(void_dir + "_tmp").coalesce(1).write.mode(
+        "overwrite").parquet(void_dir)
+    assert load_profile(spark, root) == (None, None)
