@@ -90,6 +90,7 @@ from rdf_n3_spark.operators.similarity import (
     ann_topk_exact_oracle,
     ann_topk_partial,
     ivf_topk,
+    ivf_topk_tables,
     project_embeddings,
     projection_weights,
 )
@@ -580,6 +581,30 @@ keys AS (
   SELECT vec_id, unnest([{_band_keys_sql()}]) AS band_key FROM qe
 )
 """
+
+
+# Multi-table probe keys (mirror of similarity.lsh_probe_keys with the
+# default 8 tables × 4 bits, hamming=1): each table's own band key
+# plus every single-bit flip — the flip inverts the CASE branches so
+# the sign computation stays the identical exact int64 sum.
+def _probe_keys_sql() -> str:
+    from rdf_n3_spark.operators.dedup import BANDS_E, BITS_E, hyperplane_weights
+
+    W = hyperplane_weights()
+
+    def char(b: int, j: int, flip: bool) -> str:
+        dot = " + ".join(f"e[{i + 1}]*{W[b][j][i]}" for i in range(64))
+        one, zero = ("'0'", "'1'") if flip else ("'1'", "'0'")
+        return f"(CASE WHEN {dot} >= 0 THEN {one} ELSE {zero} END)"
+
+    keys = []
+    for b in range(BANDS_E):
+        base = " || ".join(char(b, j, False) for j in range(BITS_E))
+        keys.append(f"'{b}|' || {base}")
+        for jf in range(BITS_E):
+            chars = " || ".join(char(b, j, j == jf) for j in range(BITS_E))
+            keys.append(f"'{b}|' || {chars}")
+    return ", ".join(keys)
 
 
 # ±1 sign-projection components (mirror of similarity.project_embeddings):
@@ -1297,6 +1322,7 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
     # (pytest-oracle green since r4; driver-certified this round)
     "cms_freq", "relation_triples", "kb_void", "source_weights",
@@ -1387,6 +1413,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_partial": lambda s, d: ann_topk_partial(_embs(s, d)),
         "ann_ivf": lambda s, d: ivf_topk(_embs(s, d)),
         "ann_ivf_multiprobe": lambda s, d: ivf_topk(_embs(s, d), hamming=1),
+        "ann_ivf_multitable": lambda s, d: ivf_topk_tables(_embs(s, d)),
         "embed_project": lambda s, d: project_embeddings(_embs(s, d)),
         "text_stats": lambda s, d: token_stats(_docs(s, d)),
         "text_quality": lambda s, d: quality_score(_docs(s, d)),
@@ -2383,6 +2410,33 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         "ann_topk_partial": _ANN_TOPK_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_exact_oracle": _ANN_TOPK_SQL,
+        # mirrors similarity.ivf_topk_tables (8 tables × 4 bits,
+        # hamming=1): multi-table band-key probe, candidates deduped
+        # across tables before the exact quantized cosine
+        "ann_ivf_multitable": f"""
+            {_QEMB},
+            {_EMB_KEYS.strip()},
+            probes AS (
+              SELECT vec_id, unnest([{_probe_keys_sql()}]) AS band_key
+              FROM qe WHERE vec_id < 20
+            ),
+            cand AS (
+              SELECT DISTINCT p.vec_id AS q, k.vec_id AS vec_id
+              FROM probes p JOIN keys k USING (band_key)
+              WHERE p.vec_id <> k.vec_id
+            ),
+            scored AS (
+              SELECT c.q, c.vec_id, {_COS_EXPR} AS cos
+              FROM cand c JOIN qe q ON q.vec_id = c.q
+                          JOIN qe t ON t.vec_id = c.vec_id
+            ),
+            ranked AS (
+              SELECT q, vec_id, cos,
+                     row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT q, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+        """,
         "embed_project": f"""
             {_QEMB}
             {_proj_sql()}

@@ -522,9 +522,21 @@ def lsh_band_keys(qcol, bands: int = BANDS_E, bits: int = BITS_E,
     out of codegen.  A short vector zips against trailing null weights
     → null dot → '0' bit (deterministic bucket, no ANSI index error —
     the same failure mode the old try_element_at form had)."""
+    chars = band_sign_chars(qcol, bands, bits, dims)
+    return F.array(*[
+        F.concat(F.lit(f"{b}|"), *chars[b]) for b in range(bands)
+    ])
+
+
+def band_sign_chars(qcol, bands: int = BANDS_E, bits: int = BITS_E,
+                    dims: int = 64) -> list:
+    """The per-(band, bit) sign characters behind :func:`lsh_band_keys`
+    as a ``bands × bits`` list of '1'/'0' Column expressions — exposed
+    so multi-probe consumers (similarity.lsh_probe_keys) can emit
+    bit-flipped variants without recomputing the dot products' shape."""
     W = hyperplane_weights(bands, bits, dims)
     e = F.slice(qcol, 1, dims)
-    keys = []
+    out = []
     for b in range(bands):
         chars = []
         for j in range(bits):
@@ -535,8 +547,8 @@ def lsh_band_keys(qcol, bands: int = BANDS_E, bits: int = BITS_E,
                 lambda acc, v: acc + v,
             )
             chars.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(F.lit(f"{b}|"), *chars))
-    return F.array(*keys)
+        out.append(chars)
+    return out
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,

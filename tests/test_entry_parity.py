@@ -98,6 +98,8 @@ CROSS_SF = [
     "embedding_incremental", "kb_char_sets", "kb_void", "kb_star_card",
     "paragraph_neardup", "source_weights", "relation_candidates",
     "relation_triples",
+    # round-5 queries
+    "ann_ivf_multitable",
 ]
 
 
