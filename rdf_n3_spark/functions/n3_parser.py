@@ -210,7 +210,10 @@ _CANONICALIZERS = {
 
 def _tokenize(text: str):
     toks = []
-    pos = 0
+    # a single LEADING byte-order mark is encoding metadata, not
+    # content (the W3C Turtle suite's turtle-syntax-bom case must
+    # parse); a BOM anywhere ELSE stays a must-fail character
+    pos = 1 if text.startswith("﻿") else 0
     line = 1
     n = len(text)
     match = _MASTER_RE.match

@@ -48,6 +48,54 @@ MALFORMED = [
     (PFX + ":a :b :c ~ .", "unrecognized character"),
     # keyword where a term is required
     (PFX + ":a @prefix :c .", "directive in term position"),
+    # --- round-5 widening toward spec/reader_spec.rb's validation
+    # contexts (bad IRIs / prefixes / lists / encoding edges) ---
+    # IRIREF must not contain whitespace
+    (PFX + ":a :b <http://example.org/foo bar> .", "iri with space"),
+    # IRIREF must not nest '<'
+    (PFX + ":a :b <http://example.org/<x> .", "iri with nested angle"),
+    # unterminated IRIREF
+    (PFX + ":a :b <http://example.org/x .", "unterminated iri"),
+    # IRIREF must not span lines
+    (PFX + ":a :b <http://ex.org/\nx> .", "iri with newline"),
+    # language tag must be present after '@'
+    (PFX + ':a :b "x"@ .', "empty lang tag"),
+    # language tag must start with a letter
+    (PFX + ':a :b "x"@1en .', "digit-first lang tag"),
+    # doubled '@'
+    (PFX + ':a :b "x"@@en .', "double at in lang tag"),
+    # a bare second statement terminator
+    (PFX + ":a :b :c . .", "stray extra dot"),
+    # undefined prefix in OBJECT position
+    (PFX + ":a :b und:z .", "undefined prefix in object"),
+    # undefined prefix in DATATYPE position
+    (PFX + ':a :b "1"^^und:int .', "undefined prefix in datatype"),
+    # collection close with no open
+    (PFX + ":a :b 1) .", "stray close paren"),
+    # formula close with no open
+    (PFX + ":a :b :c . }", "stray close brace"),
+    # property-list close with no open
+    (PFX + ":a :b :c ] .", "stray close bracket"),
+    # @base IRI must be an IRIREF
+    ('@base "nope" .', "base iri not an iriref"),
+    # a BOM anywhere but offset 0 is content, and not a legal one
+    (PFX + ":a :b ﻿:c .", "bom mid-document"),
+    # two decimal points cannot tokenize into one numeric object
+    (PFX + ":a :b 1.2.3 .", "double-dot numeric"),
+    # datatype must be an IRI/pname, not a literal
+    (PFX + ':a :b "x"^^"y" .', "datatype is a literal"),
+    # \U escape beyond U+10FFFF
+    (PFX + ':a :b "\\U00110000" .', "unicode escape out of range"),
+    # unterminated long (triple-quoted) string
+    (PFX + ':a :b """x .', "unterminated long string"),
+    # 'a' (rdf:type shorthand) is only a PREDICATE
+    (PFX + ":x :y a .", "a in object position"),
+    # @prefix directive missing its terminating dot
+    ("@prefix p: <http://example.org/>", "prefix missing dot"),
+    # comma promises a second object that never comes
+    (PFX + ":a :b :c, .", "comma with no second object"),
+    # semicolon before any predicate
+    (PFX + ":a ; :b :c .", "objectless leading semicolon"),
 ]
 
 
@@ -59,6 +107,21 @@ def test_malformed_documents_must_fail(doc):
     # validate mode must obviously reject them too
     with pytest.raises(N3ParseError):
         parse_n3(doc, validate=True)
+
+
+def test_leading_bom_is_stripped():
+    """Encoding edge the W3C Turtle suite pins (turtle-syntax-bom):
+    one leading U+FEFF is metadata and must parse; the mid-document
+    BOM above stays a must-fail."""
+    quads = parse_n3("﻿" + PFX + ":a :b :c .")
+    assert len(quads) == 1
+
+
+def test_trailing_semicolon_is_legal():
+    """Grammar guard for the battery itself: predicateObjectList
+    allows a trailing ';' before '.' — the near-miss of the
+    leading-semicolon must-fail above must NOT creep into MALFORMED."""
+    assert len(parse_n3(PFX + ":a :b :c ; .")) == 1
 
 
 # ------------------------------------------------------- validate mode
