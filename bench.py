@@ -184,6 +184,21 @@ def main() -> None:
         cooccurrence_edges(m1, group="conv_id", node="norm")
         .where(F.col("weight") >= 3)))
 
+    # one representative per round-4/5 family (VERDICT r4 item 6):
+    # relation mining + KB profile (both scan-heavy aggregations over
+    # the REPLICATED corpus — they must scale with the headline), the
+    # mergeable-sketch family, and the multi-table ANN index
+    from rdf_n3_spark.operators.kb_stats import characteristic_sets
+    from rdf_n3_spark.operators.relations import relation_candidates
+    from rdf_n3_spark.operators.sketch import kmv_distinct_tokens
+    from rdf_n3_spark.operators.similarity import ivf_topk_tables
+
+    rel = sink(relation_candidates(transcripts_df, mentions=m))
+    cs = sink(characteristic_sets(
+        mention_triples(m).unionByName(entity_triples(m))))
+    kmv = sink(kmv_distinct_tokens(docs_tbl))
+    ann_mt = sink(ivf_topk_tables(embs_tbl).drop("cos"))
+
     # iterative-path evidence row: PageRank over the UNREPLICATED
     # sf-dir entity graph (mult-independent like the other evidence
     # rows). pagerank_quantized materializes per-iteration checkpoints
@@ -222,6 +237,10 @@ def main() -> None:
         "events_asof": lambda: timed_runs(asof, runs, stat),
         "keyword_topk": lambda: timed_runs(kw, runs, stat),
         "triangle_counts": lambda: timed_runs(tri, runs, stat),
+        "relation_candidates": lambda: timed_runs(rel, runs, stat),
+        "kb_char_sets": lambda: timed_runs(cs, runs, stat),
+        "kmv_distinct": lambda: timed_runs(kmv, runs, stat),
+        "ann_ivf_multitable": lambda: timed_runs(ann_mt, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
