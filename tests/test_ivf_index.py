@@ -43,3 +43,32 @@ def test_index_schema_is_the_contract(spark):
     assert set(idx.columns) == {"bucket", "vec_id", "et"}
     # one row per corpus vector — the index is corpus-sized, never more
     assert idx.count() == spark.read.parquet(EMBS).count()
+
+
+def test_multitable_persisted_index_round_trip(spark, tmp_path):
+    """The multi-table split obeys the same persistence contract: a
+    written-and-re-read bucket-partitioned multi-table index returns
+    exactly the one-shot ivf_topk_tables result, and the probe join
+    dynamically prunes the scan to the probed buckets."""
+    from rdf_n3_spark.operators.similarity import (
+        ivf_index_tables,
+        ivf_search_tables,
+        ivf_topk_tables,
+    )
+
+    embs = spark.read.parquet(EMBS)
+    path = str(tmp_path / "ivfidx_mt")
+    ivf_index_tables(embs).write.partitionBy("bucket").parquet(path)
+    idx = spark.read.parquet(path)
+    got = sorted(map(tuple, ivf_search_tables(
+        idx, embs.where(F.col("vec_id") < 20)).collect()))
+    want = sorted(map(tuple, ivf_topk_tables(embs).collect()))
+    assert got == want and len(got) > 0
+    plan = (
+        ivf_search_tables(idx, embs.where(F.col("vec_id") < 5))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters: [" in plan, plan
+    # index is tables× the corpus — the documented multi-table trade
+    assert ivf_index_tables(embs).count() == 8 * embs.count()
