@@ -172,6 +172,30 @@ def _q_repetition(spark, sf_dir):
     return repetition_stats(enriched)
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (operators/sketch.py round 5) with
+    the SAME 5% eval split as _q_decontaminate — but the benchmark is
+    ingested as TWO shard filters folded with bloom_merge, so this one
+    driver row certifies build + exact-merge + probe together: a
+    non-exact fold would flip probe bits and hash-mismatch the oracle
+    (which builds one filter over the whole benchmark)."""
+    from pyspark.sql import functions as F
+
+    from rdf_n3_spark.operators.sketch import (
+        bloom_decontaminate,
+        bloom_gram_filter,
+        bloom_merge,
+    )
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 20 != 7)
+    filt = bloom_merge(
+        bloom_gram_filter(d.filter(F.col("doc_id") % 40 == 7)),
+        bloom_gram_filter(d.filter(F.col("doc_id") % 40 == 27)),
+    )
+    return bloom_decontaminate(corpus, benchmark_filter=filt)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination with a deterministic 5% eval split
     (doc_id % 20 == 7 plays the benchmark suite; the rest is the
@@ -1322,7 +1346,7 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "ann_ivf_multitable",
+    "bloom_decontaminate", "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
     # (pytest-oracle green since r4; driver-certified this round)
     "cms_freq", "relation_triples", "kb_void", "source_weights",
@@ -1431,6 +1455,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk": _q_search,
         "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
         "kmv_merged": _q_kmv_merged,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
         "cms_merged": _q_cms_merged,
         "embedding_incremental": _q_embedding_incremental,
@@ -2631,6 +2656,50 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    coalesce(c, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id % 20 <> 7
+        """,
+        # mirrors sketch.bloom_decontaminate (n=4, m=8192, k=3; 63-bit
+        # words): ONE filter over the whole benchmark — the Spark side
+        # folds two shard filters, and the exact bit_or merge makes the
+        # tables identical, so this row certifies build+merge+probe
+        "bloom_decontaminate": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(string_split(lower(text), ' ')) - 3, 1)),
+                         i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 3), ' ')
+                       )) AS g
+                FROM documents)
+            ),
+            bpos AS (
+              SELECT (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15))::BIGINT % 8192) AS pos
+              FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 7),
+                   (SELECT unnest([0, 1, 2]) AS i)
+            ),
+            filt AS (
+              SELECT pos // 63 AS word,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+              FROM bpos GROUP BY 1
+            ),
+            cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 7),
+            ppos AS (
+              SELECT g, (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15))::BIGINT % 8192) AS pos
+              FROM (SELECT DISTINCT g FROM cg), (SELECT unnest([0, 1, 2]) AS i)
+            ),
+            need AS (
+              SELECT g, pos // 63 AS word,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS need
+              FROM ppos GROUP BY 1, 2
+            ),
+            hitw AS (
+              SELECT g, CASE WHEN (coalesce(bits, 0) & need) = need
+                             THEN 1 ELSE 0 END AS h
+              FROM need LEFT JOIN filt USING (word)
+            ),
+            verd AS (SELECT g, min(h) AS mp FROM hitw GROUP BY g)
+            SELECT c.doc_id, CAST(sum(mp) AS BIGINT) AS n_hits,
+                   sum(mp) > 0 AS contaminated
+            FROM cg c JOIN verd USING (g) GROUP BY c.doc_id
         """,
         # mirrors events.asof_join: purchases ASOF LEFT JOIN the
         # (user_id, ts)-deduped signups — DuckDB's native ASOF is the

@@ -250,3 +250,178 @@ def kmv_distinct_tokens(documents: DataFrame, k: int = 64) -> DataFrame:
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     return kmv_distinct(toks, "source", F.col("tok"), k=k)
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): the MEMBERSHIP-side sketch completing the
+# family — KMV answers "how many distinct", count-min answers "how
+# often", the Bloom filter answers "have we seen this" with ONE-SIDED
+# error: a present value always hits (no false negatives — its own
+# k_hashes bits were all set); an absent value hits with probability
+# ≈ (1 - e^(-k·n/m))^k (false positives only).  That direction is
+# exactly right for benchmark decontamination (Dolma-style): a false
+# positive over-drops a clean document, never leaks a contaminated one.
+#
+# Engine portability, as with KMV/CMS: hash i of value v is
+# md5("i:v") nibbles 1-15 as bigint mod m_bits; word = pos div 63,
+# mask = 1 << (pos mod 63) — 63 bits per word, NOT 64: DuckDB raises
+# on the sign-bit shift (1::BIGINT << 63 overflows) where Spark wraps
+# negative, so the portable word uses shifts ≤ 62 only; masks stay
+# positive int64 in both engines and the sketch TABLE is bit-identical
+# across engines and partitionings.
+#
+# Scale shape: the filter is a DataFrame of at most m_bits/63 rows
+# ((word, bits)); building it is one map-side-combinable bit_or
+# groupBy, so the shuffle carries ≤ m_bits/63 rows per partition no
+# matter how many values stream through.  Merging shard filters is an
+# elementwise bit_or (EXACT: the union's filter — set-bits only
+# accumulate), and probes broadcast the tiny filter, never shuffling
+# the probe stream on the sketch key.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(i, value, m_bits: int):
+    """Bit position of hash row ``i`` for ``value``: md5("i:v")
+    nibbles 1-15 as bigint, mod m_bits — same discipline as
+    :func:`_cms_cell`, nonnegative so Spark/DuckDB `%` agree."""
+    h = F.md5(F.concat(i.cast("string"), F.lit(":"), value.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(m_bits)
+    )
+
+
+def _bloom_cells(values: DataFrame, m_bits: int, k_hashes: int) -> DataFrame:
+    """(v, word, mask) — one row per (value, hash row); 63-bit words
+    (see the portability note above)."""
+    pos = _bloom_pos(F.col("i"), F.col("v"), m_bits)
+    return (
+        values.select("v", _cms_rows(k_hashes).alias("i"))
+        .select(
+            "v",
+            F.floor(pos / F.lit(63)).cast("bigint").alias("word"),
+            # call_function: the Python shiftleft() wrapper only takes
+            # a LITERAL bit count; the SQL function shifts dynamically
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"),
+                (pos % 63).cast("int")).alias("mask"),
+        )
+    )
+
+
+def bloom_sketch(df: DataFrame, value, m_bits: int = 8192,
+                 k_hashes: int = 3) -> DataFrame:
+    """(word, bits) — the PERSISTED filter state (≤ m_bits/63 rows):
+    :func:`bloom_merge_all` folds shard filters exactly,
+    :func:`bloom_probe` answers membership from any of them.  Size
+    m_bits to the expected distinct count (fpr ≈ 0.5^k at
+    m ≈ 1.44·k·n) — the scale knob, exactly like CMS width."""
+    cells = _bloom_cells(df.select(value.alias("v")), m_bits, k_hashes)
+    return cells.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_merge_all(stacked: DataFrame) -> DataFrame:
+    """(word, bits) — fold a STACK of filter rows (any number of
+    shards / days / epochs): elementwise bit_or.  EXACT — the merged
+    filter equals the filter of the unioned data bit-for-bit (set
+    bits only accumulate), the daily→monthly rollup property."""
+    return stacked.select("word", "bits").groupBy("word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(word, bits) — fold two filter tables (see
+    :func:`bloom_merge_all`)."""
+    return bloom_merge_all(
+        a.select("word", "bits").unionByName(b.select("word", "bits")))
+
+
+def bloom_probe(sketch: DataFrame, probes: DataFrame, value,
+                m_bits: int = 8192, k_hashes: int = 3) -> DataFrame:
+    """(v, maybe_present) per distinct probe value: 1 iff ALL k_hashes
+    bits are set (so a value the filter ingested is ALWAYS 1; a 0 is
+    definitive absence).
+
+    Two hash rows can land in the same word, so per (value, word) the
+    needed bits are bit_or-folded BEFORE the check; the filter
+    (≤ m_bits/63 rows) broadcasts to the probe side and the probe
+    stream never shuffles on the word key."""
+    pv = probes.select(value.alias("v")).distinct()
+    needed = (
+        _bloom_cells(pv, m_bits, k_hashes)
+        .groupBy("v", "word").agg(F.bit_or("mask").alias("need"))
+    )
+    joined = needed.join(F.broadcast(sketch), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("need"))
+        == F.col("need")
+    )
+    return joined.groupBy("v").agg(
+        F.min(hit.cast("int")).cast("int").alias("maybe_present")
+    )
+
+
+def bloom_gram_filter(benchmark: DataFrame, n: int = 4,
+                      m_bits: int = 8192, k_hashes: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """(word, bits) — Bloom filter of a benchmark's word-n-grams: the
+    per-suite state a production decontamination pipeline PERSISTS and
+    bit_or-merges across suites (:func:`bloom_merge_all`) before
+    gating a corpus (:func:`bloom_decontaminate` ``benchmark_filter=``)."""
+    return bloom_sketch(_word_grams(benchmark, n, text_col), F.col("g"),
+                        m_bits=m_bits, k_hashes=k_hashes)
+
+
+def _word_grams(df: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, g) — the word-n-gram stream, same tokenization contract
+    as curation.decontaminate (lower + single-space split)."""
+    from rdf_n3_spark.operators.dedup import shingles_of_tokens
+
+    return (
+        df.select("doc_id", F.split(F.lower(text_col), " ").alias("__toks"))
+        .select("doc_id",
+                F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("g"))
+    )
+
+
+def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame | None = None,
+                        n: int = 4, m_bits: int = 8192,
+                        k_hashes: int = 3,
+                        text_col: str = "text",
+                        benchmark_filter: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_hits, contaminated) — the 100 TB twin of
+    :func:`rdf_n3_spark.operators.curation.decontaminate`: the SAME
+    word-n-gram contract, but the benchmark gram set is compressed
+    into a constant-size Bloom filter instead of broadcast raw — at
+    web scale the benchmark suite's distinct grams outgrow a broadcast
+    set; the filter stays ≤ m_bits/63 rows whatever the benchmark is.
+
+    One-sided by construction: every truly contaminated document is
+    flagged (no false negatives); a clean document is over-flagged
+    with the filter's fpr — the conservative direction for dropping
+    training data.  ``n_hits`` counts the document's distinct grams
+    that (maybe-)hit.
+
+    Pass either ``benchmark`` (docs table; the filter is built here)
+    or a prebuilt ``benchmark_filter`` (:func:`bloom_gram_filter`
+    output, possibly the :func:`bloom_merge_all` fold of several
+    suites' persisted filters — the production shape)."""
+    if (benchmark is None) == (benchmark_filter is None):
+        raise ValueError("pass exactly one of benchmark / benchmark_filter")
+    filt = (benchmark_filter if benchmark_filter is not None
+            else bloom_gram_filter(benchmark, n, m_bits, k_hashes, text_col))
+    corpus_grams = _word_grams(corpus, n, text_col).dropDuplicates(
+        ["doc_id", "g"])
+    # probe once per DISTINCT gram (vocabulary-sized), then equi-join
+    # the verdicts back to the (doc_id, gram) pairs — the verdict
+    # table is gram-keyed like the pairs, so this is a plain shuffled
+    # equi-join, NEVER a broadcast (it grows with the corpus)
+    verdicts = bloom_probe(filt, corpus_grams, F.col("g"),
+                           m_bits=m_bits, k_hashes=k_hashes)
+    return (
+        corpus_grams.join(verdicts.withColumnRenamed("v", "g"), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("maybe_present").cast("bigint").alias("n_hits"))
+        .select(
+            "doc_id", "n_hits", (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

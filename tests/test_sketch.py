@@ -189,3 +189,104 @@ def test_cms_plan_shape(spark):
     lplan = look._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in lplan, lplan
     assert "SortMergeJoin" not in lplan, lplan
+
+
+# ----------------------------------------------------------- bloom
+
+def _bloom_corpus(spark):
+    return spark.createDataFrame(
+        [(f"tok{i}",) for i in range(300)], ["v"])
+
+
+def test_bloom_no_false_negatives(spark):
+    """The one-sided contract: every ingested value probes 1."""
+    from rdf_n3_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    corpus = _bloom_corpus(spark)
+    filt = bloom_sketch(corpus, F.col("v"))
+    got = bloom_probe(filt, corpus, F.col("v")).collect()
+    assert len(got) == 300
+    assert all(r["maybe_present"] == 1 for r in got)
+
+
+def test_bloom_fpr_is_bounded_and_zero_is_definitive(spark):
+    """Absent values probe 0 except for a bounded false-positive rate
+    (theory at n=300, m=8192, k=3: ≈ (1-e^(-3·300/8192))^3 ≈ 0.1%;
+    assert a generous 5% ceiling), and any 0 is truly absent."""
+    from rdf_n3_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    filt = bloom_sketch(_bloom_corpus(spark), F.col("v"))
+    absent = spark.createDataFrame(
+        [(f"other{i}",) for i in range(400)], ["v"])
+    got = bloom_probe(filt, absent, F.col("v")).collect()
+    fpr = sum(r["maybe_present"] for r in got) / len(got)
+    assert fpr <= 0.05, f"false-positive rate {fpr:.3f} above ceiling"
+
+
+def test_bloom_merge_is_exact(spark):
+    """bit_or of shard filters equals the filter of the unioned data
+    row-for-row — the daily→monthly rollup property, with zero
+    approximation in the fold."""
+    from rdf_n3_spark.operators.sketch import bloom_merge, bloom_sketch
+
+    corpus = _bloom_corpus(spark)
+    a = corpus.where(F.col("v") < "tok2")
+    b = corpus.where(F.col("v") >= "tok2")
+    merged = {(r["word"], r["bits"])
+              for r in bloom_merge(bloom_sketch(a, F.col("v")),
+                                   bloom_sketch(b, F.col("v"))).collect()}
+    whole = {(r["word"], r["bits"])
+             for r in bloom_sketch(corpus, F.col("v")).collect()}
+    assert merged == whole and len(whole) > 0
+
+
+def test_bloom_partitioning_independence(spark):
+    """The sketch table is identical under any input partitioning
+    (bit_or is commutative/associative)."""
+    from rdf_n3_spark.operators.sketch import bloom_sketch
+
+    corpus = _bloom_corpus(spark)
+    one = {(r["word"], r["bits"])
+           for r in bloom_sketch(corpus.coalesce(1), F.col("v")).collect()}
+    many = {(r["word"], r["bits"])
+            for r in bloom_sketch(corpus.repartition(13), F.col("v")).collect()}
+    assert one == many
+
+
+def test_bloom_plan_shape(spark):
+    """Build = one map-side-combinable bit_or groupBy (no window, no
+    join); probe broadcasts the filter (no shuffled join on the word
+    key)."""
+    from rdf_n3_spark.operators.sketch import bloom_probe, bloom_sketch
+
+    corpus = _bloom_corpus(spark)
+    build = bloom_sketch(corpus, F.col("v"))
+    p = build._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p and "Join" not in p, p
+    probe = bloom_probe(build, corpus, F.col("v"))
+    pp = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pp, pp
+    assert "SortMergeJoin" not in pp, pp
+
+
+def test_bloom_decontaminate_is_conservative_superset(spark):
+    """vs the exact broadcast-set decontaminate: every truly
+    contaminated doc is flagged (no false negatives), extra flags are
+    bounded by the filter's fpr; at a generously-sized filter the two
+    verdicts coincide on this corpus."""
+    from rdf_n3_spark.operators.curation import decontaminate
+    from rdf_n3_spark.operators.sketch import bloom_decontaminate
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    corpus = docs.where(F.col("doc_id") % 20 != 7)
+    exact = {r["doc_id"] for r in decontaminate(corpus, bench, n=4)
+             .where("contaminated").collect()}
+    flagged = {r["doc_id"]
+               for r in bloom_decontaminate(corpus, bench, n=4,
+                                            m_bits=1 << 18)
+               .where("contaminated").collect()}
+    assert exact <= flagged, "bloom must never miss a contaminated doc"
+    extra = len(flagged - exact) / max(len(flagged), 1)
+    assert extra <= 0.05, f"over-flagging {extra:.3f} above fpr budget"
