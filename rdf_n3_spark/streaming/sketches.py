@@ -75,3 +75,33 @@ def read_cms_rollup(spark: SparkSession, out_dir: str, probes: DataFrame,
     `cms_lookup` over a whole-history sketch (counter sums are exact)."""
     merged = cms_merge_all(spark.read.parquet(out_dir))
     return cms_lookup(merged, probes, value, depth=depth, width=width)
+
+
+def stream_bloom_rollup(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                        value_col: str, m_bits: int = 8192,
+                        k_hashes: int = 3):
+    """Write one Bloom filter (≤ m_bits/63 rows) per epoch to
+    ``out_dir`` (shared epoch-overwrite sink).  Membership is
+    idempotent under replay anyway (set bits stay set), but the sink
+    discipline keeps all three sketch families on one contract.
+    Probe with :func:`read_bloom_rollup`."""
+    from rdf_n3_spark.operators.sketch import bloom_sketch
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
+
+    return epoch_overwrite_sink(
+        stream, out_dir, checkpoint_dir,
+        lambda batch_df, _e: bloom_sketch(batch_df, F.col(value_col),
+                                          m_bits=m_bits, k_hashes=k_hashes))
+
+
+def read_bloom_rollup(spark: SparkSession, out_dir: str, probes: DataFrame,
+                      value, m_bits: int = 8192,
+                      k_hashes: int = 3) -> DataFrame:
+    """(v, maybe_present) — bit_or-fold every epoch's filter and
+    probe: EQUALS `bloom_probe` against a whole-history filter (the
+    fold is exact — set bits only accumulate)."""
+    from rdf_n3_spark.operators.sketch import bloom_merge_all, bloom_probe
+
+    merged = bloom_merge_all(spark.read.parquet(out_dir))
+    return bloom_probe(merged, probes, value,
+                       m_bits=m_bits, k_hashes=k_hashes)

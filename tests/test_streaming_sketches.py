@@ -85,3 +85,44 @@ def test_cms_rollup_equals_batch_and_replay_is_idempotent(spark, tmp_path):
     # sanity: the dominant value count survives the fold exactly
     exact = full.where(F.col("val") == "x100").count()
     assert got["x100"] >= exact
+
+
+def test_bloom_rollup_equals_batch(spark, tmp_path):
+    """Multi-epoch streamed Bloom filters bit_or-fold to EXACTLY the
+    batch filter of the full history, and the folded probe agrees with
+    the batch probe on present AND absent values."""
+    from rdf_n3_spark.operators.sketch import bloom_probe, bloom_sketch
+    from rdf_n3_spark.streaming.sketches import (
+        read_bloom_rollup,
+        stream_bloom_rollup,
+    )
+
+    src = _write_shards(spark, tmp_path, "in_bloom")
+    out, ck = str(tmp_path / "bf"), str(tmp_path / "bck")
+    stream = (
+        spark.readStream.schema("key string, val string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_bloom_rollup(stream.select("val"), out, ck, "val").start()
+    q.awaitTermination(120)
+
+    epochs = {r["epoch"] for r in spark.read.parquet(out).collect()}
+    assert len(epochs) == 2, epochs
+    hist = spark.read.parquet(src)
+    probes = hist.select("val").unionByName(
+        spark.createDataFrame([("absent1",), ("absent2",)], ["val"]))
+    got = {r["v"]: r["maybe_present"]
+           for r in read_bloom_rollup(spark, out, probes, F.col("val")).collect()}
+    want = {r["v"]: r["maybe_present"]
+            for r in bloom_probe(bloom_sketch(hist, F.col("val")),
+                                 probes, F.col("val")).collect()}
+    assert got == want
+    assert all(got[r["val"]] == 1 for r in hist.collect())
+    # folded filter table == whole-history filter table, row for row
+    from rdf_n3_spark.operators.sketch import bloom_merge_all
+
+    folded = {(r["word"], r["bits"])
+              for r in bloom_merge_all(spark.read.parquet(out)).collect()}
+    whole = {(r["word"], r["bits"])
+             for r in bloom_sketch(hist, F.col("val")).collect()}
+    assert folded == whole
