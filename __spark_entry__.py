@@ -78,7 +78,11 @@ from rdf_n3_spark.operators.dedup import (
     source_dup_matrix,
 )
 from rdf_n3_spark.operators.materialize import graph_edges, graph_nodes
-from rdf_n3_spark.operators.sketch import cms_token_freq, kmv_distinct_tokens
+from rdf_n3_spark.operators.sketch import (
+    cms_token_freq,
+    kmv_distinct_tokens,
+    token_heavy_hitters,
+)
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.multimodal import (
     extract_features,
@@ -1346,7 +1350,7 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "bloom_decontaminate", "ann_ivf_multitable",
+    "token_heavy_hitters", "bloom_decontaminate", "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
     # (pytest-oracle green since r4; driver-certified this round)
     "cms_freq", "relation_triples", "kb_void", "source_weights",
@@ -1456,6 +1460,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
         "kmv_merged": _q_kmv_merged,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        # exact corpus-global top tokens via the MG candidate prune —
+        # the oracle computes the full-vocabulary groupBy top-k, so a
+        # candidate-set miss (guarantee violation) would hash-mismatch
+        "token_heavy_hitters": lambda s, d: token_heavy_hitters(_docs(s, d)),
         "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
         "cms_merged": _q_cms_merged,
         "embedding_incremental": _q_embedding_incremental,
@@ -2700,6 +2708,19 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT c.doc_id, CAST(sum(mp) AS BIGINT) AS n_hits,
                    sum(mp) > 0 AS contaminated
             FROM cg c JOIN verd USING (g) GROUP BY c.doc_id
+        """,
+        # mirrors sketch.token_heavy_hitters (k=20): the oracle does
+        # the full-vocabulary exact top-k — the Spark side's MG
+        # candidate prune must be result-invisible to hash-match
+        "token_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS v
+              FROM documents
+            ),
+            cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY v)
+            SELECT v, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, v) AS INT) AS rank
+            FROM cnt QUALIFY rank <= 20
         """,
         # mirrors events.asof_join: purchases ASOF LEFT JOIN the
         # (user_id, ts)-deduped signups — DuckDB's native ASOF is the

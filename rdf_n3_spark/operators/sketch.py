@@ -425,3 +425,84 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame | None = None,
             "doc_id", "n_hits", (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982): EXACT global top-k
+# without a vocabulary-sized shuffle.  Two passes:
+#
+# 1. per-partition MG summaries (mapInPandas, counting only — the data
+#    values pass through untouched) keep ≤ `counters` keys each; the
+#    classic averaging argument makes the KEY-UNION a certified
+#    candidate superset: if a value's count ≤ N_p/(counters+1) in
+#    EVERY partition p, its global count ≤ N/(counters+1) — so every
+#    value with global frequency > N/(counters+1) survives at least
+#    one partition's summary;
+# 2. candidates (≤ partitions × counters keys — tiny) broadcast back
+#    as a semi-join filter, and only candidate-matched rows are
+#    counted EXACTLY with a map-side-combinable groupBy whose partial
+#    state is candidate-bounded, never vocabulary-bounded.
+#
+# The result is the exact top-k (deterministic tiebreak: count desc,
+# value asc) whenever the k-th most frequent value clears the
+# N/(counters+1) floor — the regime heavy-hitter queries target; the
+# default counters = 4096 puts that floor at 0.02% of the stream.  A
+# flatter distribution degrades to exact counts of a candidate
+# SUPERSET (never wrong counts); size `counters` up like any sketch
+# knob.  This is the constant-exchange twin of a full-vocabulary
+# groupBy-orderBy, completing the exact↔sketch pairs (event_quantiles
+# ↔ histogram_quantiles, decontaminate ↔ bloom_decontaminate,
+# countDistinct ↔ kmv).
+# ---------------------------------------------------------------------------
+
+
+def mg_topk(df: DataFrame, value, k: int = 20,
+            counters: int = 4096) -> DataFrame:
+    """(v, n, rank) — exact global top-``k`` most frequent values via
+    the MG candidate prune above.  ``n`` is the EXACT count."""
+    from pyspark.sql import Window
+
+    vals = df.select(value.cast("string").alias("v"))
+
+    def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
+        counts: dict = {}
+        for pdf in batches:
+            # vectorized per-batch tally, then a dict merge bounded by
+            # the batch's DISTINCT values (not its rows)
+            for v, c in pdf["v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > counters:
+                # batched MG decrement: subtract the (counters+1)-th
+                # largest residual from everyone, drop the ≤0 — each
+                # unit of decrement hits > counters values at once,
+                # which is exactly what preserves the N/(counters+1)
+                # survival guarantee
+                thr = heapq.nlargest(counters + 1, counts.values())[-1]
+                counts = {v: c - thr for v, c in counts.items() if c > thr}
+        yield pd.DataFrame({"v": pd.Series(list(counts), dtype="object")})
+
+    cand = vals.mapInPandas(mg_summary, schema="v string").distinct()
+    exact = (
+        vals.join(F.broadcast(cand), "v", "left_semi")
+        .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # the rank window's input is the candidate COUNT table
+    # (≤ partitions × counters rows), never the value stream
+    w = Window.orderBy(F.col("n").desc(), F.col("v"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("v", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def token_heavy_hitters(documents: DataFrame, k: int = 20,
+                        counters: int = 4096) -> DataFrame:
+    """(v, n, rank) — the corpus's top-``k`` tokens (exact counts) —
+    the pipeline-facing wrapper (global stopword/boilerplate-token
+    monitoring at 100 TB wants the candidate-bounded exchange, not a
+    vocabulary-sized groupBy + global sort)."""
+    toks = documents.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    return mg_topk(toks, F.col("tok"), k=k, counters=counters)

@@ -99,7 +99,7 @@ CROSS_SF = [
     "paragraph_neardup", "source_weights", "relation_candidates",
     "relation_triples",
     # round-5 queries
-    "ann_ivf_multitable", "bloom_decontaminate",
+    "ann_ivf_multitable", "bloom_decontaminate", "token_heavy_hitters",
 ]
 
 

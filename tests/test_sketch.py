@@ -290,3 +290,63 @@ def test_bloom_decontaminate_is_conservative_superset(spark):
     assert exact <= flagged, "bloom must never miss a contaminated doc"
     extra = len(flagged - exact) / max(len(flagged), 1)
     assert extra <= 0.05, f"over-flagging {extra:.3f} above fpr budget"
+
+
+# ------------------------------------------------- MG heavy hitters
+
+def _zipf_rows():
+    rows = []
+    for r in range(1, 41):                     # 40 values, zipf-ish
+        rows += [(f"val{r:02d}",)] * (800 // r)
+    return rows
+
+
+def test_mg_topk_equals_exact_under_any_partitioning(spark):
+    """The MG candidate prune is invisible in the result: exact top-k
+    with the (n desc, v asc) tiebreak, identical at 1 and 13 input
+    partitions."""
+    from rdf_n3_spark.operators.sketch import mg_topk
+
+    df = spark.createDataFrame(_zipf_rows(), ["v"])
+    want = [
+        (r["v"], r["n"]) for r in
+        df.groupBy("v").count().withColumnRenamed("count", "n")
+        .orderBy(F.col("n").desc(), "v").limit(10).collect()
+    ]
+    for parts in (1, 13):
+        got = [(r["v"], r["n"]) for r in
+               mg_topk(df.repartition(parts), F.col("v"), k=10)
+               .orderBy("rank").collect()]
+        assert got == want, parts
+
+
+def test_mg_survival_guarantee_with_tiny_summary(spark):
+    """Adversarial spread: a value whose global frequency clears
+    N/(counters+1) but is spread evenly across partitions must survive
+    the key-union (the averaging argument), even at counters = 8."""
+    from rdf_n3_spark.operators.sketch import mg_topk
+
+    # 26 distinct light values × 40 + heavy × 200 → heavy is 200 of
+    # 1240 rows; counters=8 floor is 1240/9 ≈ 138 < 200
+    rows = [(f"light{i:02d}",) for i in range(26)] * 40 + [("heavy",)] * 200
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    top = mg_topk(df, F.col("v"), k=1, counters=8).collect()
+    assert top[0]["v"] == "heavy" and top[0]["n"] == 200
+
+
+def test_mg_topk_plan_shape(spark):
+    """Candidates broadcast back as a semi-join filter (no shuffled
+    join of the value stream) and nothing cartesian appears; the rank
+    window's input is the candidate count table."""
+    from rdf_n3_spark.operators.sketch import token_heavy_hitters
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = token_heavy_hitters(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
