@@ -190,7 +190,11 @@ def main() -> None:
     # mergeable-sketch family, and the multi-table ANN index
     from rdf_n3_spark.operators.kb_stats import characteristic_sets
     from rdf_n3_spark.operators.relations import relation_candidates
-    from rdf_n3_spark.operators.sketch import kmv_distinct_tokens
+    from rdf_n3_spark.operators.sketch import (
+        bloom_decontaminate,
+        kmv_distinct_tokens,
+        token_heavy_hitters,
+    )
     from rdf_n3_spark.operators.similarity import ivf_topk_tables
 
     rel = sink(relation_candidates(transcripts_df, mentions=m))
@@ -198,6 +202,10 @@ def main() -> None:
         mention_triples(m).unionByName(entity_triples(m))))
     kmv = sink(kmv_distinct_tokens(docs_tbl))
     ann_mt = sink(ivf_topk_tables(embs_tbl).drop("cos"))
+    bloom = sink(bloom_decontaminate(
+        docs_tbl.where(F.col("doc_id") % 20 != 7),
+        docs_tbl.where(F.col("doc_id") % 20 == 7)))
+    hh = sink(token_heavy_hitters(docs_tbl))
 
     # iterative-path evidence row: PageRank over the UNREPLICATED
     # sf-dir entity graph (mult-independent like the other evidence
@@ -241,6 +249,8 @@ def main() -> None:
         "kb_char_sets": lambda: timed_runs(cs, runs, stat),
         "kmv_distinct": lambda: timed_runs(kmv, runs, stat),
         "ann_ivf_multitable": lambda: timed_runs(ann_mt, runs, stat),
+        "bloom_decontaminate": lambda: timed_runs(bloom, runs, stat),
+        "token_heavy_hitters": lambda: timed_runs(hh, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
