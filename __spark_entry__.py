@@ -789,6 +789,17 @@ def _q_parse_n3_snippets(spark, sf_dir):
     return q.where(F.col("ok")).select("doc_id", "s", "p", "o")
 
 
+def _q_nquads(spark, sf_dir):
+    """Flat N-Quads export of the parsed snippet triples — the
+    zero-shuffle zero-Python line-per-statement sink
+    (sources/n3_sink.serialize_nquads) beside the grouped N3
+    pretty-printer."""
+    from rdf_n3_spark.sources.n3_sink import serialize_nquads
+
+    return serialize_nquads(
+        _q_parse_n3_snippets(spark, sf_dir).select("s", "p", "o"))
+
+
 def _all_triples(spark, sf_dir):
     m = extract_mentions(transcripts(spark, sf_dir))
     return mention_triples(m).unionByName(entity_triples(m))
@@ -1350,7 +1361,8 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "token_heavy_hitters", "bloom_decontaminate", "ann_ivf_multitable",
+    "n3_write_nquads", "token_heavy_hitters", "bloom_decontaminate",
+    "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
     # (pytest-oracle green since r4; driver-certified this round)
     "cms_freq", "relation_triples", "kb_void", "source_weights",
@@ -1464,6 +1476,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle computes the full-vocabulary groupBy top-k, so a
         # candidate-set miss (guarantee violation) would hash-mismatch
         "token_heavy_hitters": lambda s, d: token_heavy_hitters(_docs(s, d)),
+        "n3_write_nquads": _q_nquads,
         "cms_freq": lambda s, d: cms_token_freq(_docs(s, d)),
         "cms_merged": _q_cms_merged,
         "embedding_incremental": _q_embedding_incremental,
@@ -3356,6 +3369,24 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    '<' || lower(part_tok) || '>' AS s,
                    '<suppliedBy>' AS p,
                    '<' || supp_tok || '>' AS o
+            FROM base WHERE rn = 1
+        """,
+        # mirrors sources/n3_sink.serialize_nquads over the parsed
+        # snippet triples: strict terms pass through verbatim, one
+        # line per statement
+        "n3_write_nquads": """
+            WITH base AS (
+              SELECT 'conv_' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS conv_id,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn,
+                     CASE WHEN l_linenumber % 4 = 0 THEN upper(pt) ELSE pt END AS part_tok,
+                     'supp_' || CAST(l_suppkey AS VARCHAR) AS supp_tok
+              FROM (SELECT *, CASE WHEN l_orderkey % 5 = 0 THEN 'part_hub'
+                                   ELSE 'part_' || CAST(l_partkey AS VARCHAR) END AS pt
+                    FROM lineitem)
+            )
+            SELECT '<' || lower(part_tok) || '> <suppliedBy> <'
+                   || supp_tok || '> .' AS line
             FROM base WHERE rn = 1
         """,
     }

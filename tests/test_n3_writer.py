@@ -150,3 +150,77 @@ def test_byte_level_goldens():
         # and the golden itself must round-trip to the source graph
         assert isomorphic(parse_n3(expected, base_uri=base),
                           parse_n3(src, base_uri=base))
+
+
+# ------------------------------------------------- flat N-Quads sink
+
+def test_nquads_sink_round_trips_through_own_parser(spark):
+    """serialize_nquads over strict parsed terms → rejoining the lines
+    re-parses to the identical quad set (bnode labels pass through
+    verbatim, escapes preserved)."""
+    from rdf_n3_spark.functions.n3_parser import parse_n3
+    from rdf_n3_spark.sources.n3_sink import serialize_nquads
+
+    doc = (
+        '@prefix : <http://example.org/> .\n'
+        ':a :b "plain" .\n'
+        ':a :b "esc \\"q\\" \\n tab\\t" .\n'
+        ':a :b "tagged"@en .\n'
+        ':a :b "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '_:x :b :a .\n'
+        ':a :c _:x .\n'
+    )
+    quads = parse_n3(doc)
+    df = spark.createDataFrame(
+        [(s, p, o) for s, p, o, _ in quads], ["s", "p", "o"])
+    lines = [r["line"] for r in serialize_nquads(df).collect()]
+    assert all(li.endswith(" .") for li in lines)
+    reparsed = parse_n3("\n".join(lines))
+    assert {(s, p, o) for s, p, o, _ in reparsed} \
+        == {(s, p, o) for s, p, o, _ in quads}
+
+
+def test_nquads_prefix_expansion_and_fallback(spark):
+    from rdf_n3_spark.sources.n3_sink import serialize_nquads
+
+    df = spark.createDataFrame(
+        [("ent:x", "rdf:type", ":thing"),
+         ("ent:x", "foo:unknown", '"lit"')],
+        ["s", "p", "o"],
+    )
+    pfx = {"ent": "http://kg/e/", "": "http://kg/",
+           "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
+    lines = sorted(r["line"] for r in serialize_nquads(df, pfx).collect())
+    assert lines == [
+        '<http://kg/e/x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+        ' <http://kg/thing> .',
+        '<http://kg/e/x> <urn:x-kg:foo/unknown> "lit" .',
+    ]
+
+
+def test_nquads_graph_column(spark):
+    from rdf_n3_spark.sources.n3_sink import serialize_nquads
+
+    df = spark.createDataFrame(
+        [("<http://e/s>", "<http://e/p>", '"o"', "<http://e/g>")],
+        ["s", "p", "o", "g"],
+    )
+    assert serialize_nquads(df, graph_col="g").collect()[0]["line"] \
+        == '<http://e/s> <http://e/p> "o" <http://e/g> .'
+
+
+def test_nquads_sink_is_a_pure_narrow_project(spark):
+    """The flat sink adds NO exchange and NO Python stage over its
+    input — the 100 TB export property (line-per-statement, any
+    partitioning).  The input carries one Exchange of its own (the
+    repartition that makes it multi-partition); the sink's plan must
+    contain exactly that one and nothing more."""
+    from rdf_n3_spark.sources.n3_sink import serialize_nquads
+
+    df = spark.createDataFrame(
+        [("ent:x", ":p", '"v"')] * 10, ["s", "p", "o"]).repartition(4)
+    base = df._jdf.queryExecution().executedPlan().toString()
+    plan = serialize_nquads(df, {"ent": "http://kg/e/", "": "http://kg/"}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base.count("Exchange") == 1, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
