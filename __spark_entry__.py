@@ -34,6 +34,7 @@ from rdf_n3_spark.operators.sampling import (
     source_mix,
     source_weights,
     stratified_sample,
+    token_budget_sample,
 )
 from rdf_n3_spark.operators.curation import (
     boilerplate_ngrams,
@@ -1361,8 +1362,8 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "n3_write_nquads", "token_heavy_hitters", "bloom_decontaminate",
-    "ann_ivf_multitable",
+    "token_budget_sample", "n3_write_nquads", "token_heavy_hitters",
+    "bloom_decontaminate", "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
     # (pytest-oracle green since r4; driver-certified this round)
     "cms_freq", "relation_triples", "kb_void", "source_weights",
@@ -1491,6 +1492,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": lambda s, d: shuffle_shards(_docs(s, d), n_shards=8),
         "source_mix": lambda s, d: source_mix(_docs(s, d)),
         "source_weights": lambda s, d: source_weights(_docs(s, d)),
+        # α=0.5 weights actuated: histogram-threshold token-budget
+        # selection (no per-source corpus sort)
+        "token_budget_sample": lambda s, d: token_budget_sample(
+            _docs(s, d), 20000, buckets=256),
         "graph_pagerank": _q_pagerank,
         "comention_edges": _q_comention,
         "graph_kcore": _q_kcore,
@@ -3262,6 +3267,55 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS share_ppm,
                    CAST((sq * 1000000) // sum(sq) OVER () AS BIGINT) AS weight_ppm
             FROM q
+        """,
+        # mirrors sampling.token_budget_sample (budget 20000, 256
+        # buckets, default α=0.5 weights): per-source target tokens =
+        # budget·weight_ppm÷10⁶, seeded-hash bucket histogram, minimal
+        # threshold bucket whose cumulative tokens reach the target
+        "token_budget_sample": """
+            WITH docs AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5('budget-v1|' || source || '/' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 256 AS b
+              FROM documents
+            ),
+            c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source
+            ),
+            q AS (
+              SELECT source,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+              FROM c
+            ),
+            tgt AS (
+              SELECT source,
+                     CAST((20000 * CAST((sq * 1000000) // sum(sq) OVER () AS BIGINT))
+                          // 1000000 AS BIGINT) AS target
+              FROM q
+            ),
+            hist AS (
+              SELECT source, b, sum(n_tokens) AS btok
+              FROM docs GROUP BY source, b
+            ),
+            cum AS (
+              SELECT source, b,
+                     sum(btok) OVER (PARTITION BY source ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM hist
+            ),
+            thr AS (
+              SELECT cum.source, tgt.target,
+                     min(CASE WHEN cum.cum >= tgt.target THEN cum.b END) AS t
+              FROM cum JOIN tgt USING (source)
+              GROUP BY cum.source, tgt.target
+            )
+            SELECT d.doc_id, d.source, d.n_tokens,
+                   CAST(CASE WHEN t.target <= 0 THEN 0
+                             WHEN t.t IS NULL THEN 1
+                             WHEN d.b <= t.t THEN 1 ELSE 0 END AS INT) AS keep
+            FROM docs d JOIN thr t USING (source)
         """,
         # mirrors functions.text.keyword_topk (integer tf-idf ordering)
         "keyword_topk": """

@@ -168,3 +168,83 @@ def source_weights(documents: DataFrame, scale: int = 10**6) -> DataFrame:
         F.expr("CAST(sq * 1000000 DIV sum(sq) OVER () AS BIGINT)")
         .alias("weight_ppm"),
     )
+
+
+def token_budget_sample(documents: DataFrame, budget_tokens: int,
+                        weights: DataFrame | None = None,
+                        buckets: int = 4096, seed: str = "budget-v1",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, source, n_tokens, keep) — per-source document selection
+    that realizes a GLOBAL token budget under mixing weights: source
+    ``s`` contributes ``target(s) = budget_tokens · weight_ppm(s) ÷ 10⁶``
+    tokens (``weights`` defaults to :func:`source_weights`' α = 0.5
+    ppm table — the actuation step those weights exist for).
+
+    The naive plan sorts each source's docs by a seeded hash and takes
+    a prefix until the token cumsum hits the target — a per-source
+    GLOBAL sort, the shape the repo bans at 100 TB (`event_quantiles`'
+    documented exact-cost floor).  This operator picks the same kind
+    of prefix WITHOUT sorting the corpus, the histogram-threshold
+    trick shared with `events.histogram_quantiles`:
+
+    * every doc hashes into one of ``buckets`` seeded md5 buckets
+      (source-salted, so per-source draws are independent);
+    * ONE map-side-combinable groupBy builds the per-(source, bucket)
+      token histogram — ≤ sources × buckets rows cross the wire;
+    * the running-sum window and the threshold pick (smallest bucket
+      whose cumulative tokens reach the target) run over that TINY
+      table, never over the corpus;
+    * the per-source threshold broadcasts back and the verdict is a
+      pure narrow compare: ``keep = 1`` iff the doc's bucket ≤ the
+      source's threshold bucket.
+
+    Guarantees (tested): kept tokens ≥ target whenever the source has
+    ≥ target tokens, and the threshold bucket is MINIMAL (dropping it
+    falls below target), so the overshoot is bounded by one bucket's
+    token mass (≈ total/buckets in expectation — size ``buckets`` to
+    the granularity the budget needs); a source with fewer tokens than
+    its target keeps everything; ``target = 0`` keeps nothing; the
+    keep-set grows MONOTONICALLY with the budget (the re-drawless
+    scale-up property `corpus_sample` pins for pct); membership
+    depends only on (seed, buckets, budget, corpus) — never on the
+    partitioning.  Sources absent from ``weights`` are dropped (weight
+    0 — exactly how a mixing table excludes a source).
+    """
+    if weights is None:
+        weights = source_weights(documents)
+    toks = documents.select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(text_col), " ")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    key = F.concat(F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    docs = toks.withColumn("b", _bucket(key, seed, buckets))
+    hist = docs.groupBy("source", "b").agg(
+        F.sum("n_tokens").alias("btok"))
+    w_cum = (
+        Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("btok").over(w_cum))
+    tgt = weights.select(
+        "source",
+        F.expr(f"CAST({int(budget_tokens)} * weight_ppm DIV 1000000"
+               " AS BIGINT)").alias("target"),
+    )
+    thr = (
+        cum.join(F.broadcast(tgt), "source")
+        .groupBy("source", "target")
+        .agg(F.min(F.when(F.col("cum") >= F.col("target"), F.col("b")))
+             .alias("t"))
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.when(F.col("target") <= 0, F.lit(0))
+            .when(F.col("t").isNull(), F.lit(1))      # total < target
+            .when(F.col("b") <= F.col("t"), F.lit(1))
+            .otherwise(F.lit(0)).alias("keep"),
+        )
+    )

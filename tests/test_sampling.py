@@ -162,3 +162,103 @@ def test_source_weights_flatten_the_mix(spark):
     assert got["big"][2] < got["big"][1]
     # still a distribution (ppm floor loses at most #sources parts)
     assert 1_000_000 - 2 <= got["big"][2] + got["rare"][2] <= 1_000_000
+
+
+# ---------------------------------------------------------- token_budget_sample
+
+def _budget_docs(spark, n=600):
+    # src0 twice the docs of src1; src2 tiny — unequal token masses
+    rows = []
+    for i in range(n):
+        src = "src0" if i % 4 < 2 else ("src1" if i % 4 == 2 else "src2")
+        rows.append((i, "tok " * (5 + i % 7), src))
+    return spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id bigint, text string, source string")
+
+
+def test_token_budget_targets_met_minimally(spark):
+    from rdf_n3_spark.operators.sampling import (
+        source_weights, token_budget_sample,
+    )
+
+    docs = _budget_docs(spark)
+    budget = 1500
+    out = token_budget_sample(docs, budget, buckets=64).collect()
+    w = {r["source"]: r["weight_ppm"]
+         for r in source_weights(docs).collect()}
+    totals, kept = {}, {}
+    for r in out:
+        totals[r["source"]] = totals.get(r["source"], 0) + r["n_tokens"]
+        if r["keep"]:
+            kept[r["source"]] = kept.get(r["source"], 0) + r["n_tokens"]
+    for src, ppm in w.items():
+        target = budget * ppm // 1_000_000
+        if totals[src] >= target > 0:
+            assert kept.get(src, 0) >= target, src
+            # minimality: the threshold bucket is load-bearing — verify
+            # by rerunning with the kept set's largest bucket excluded
+            # via a smaller budget probe below (monotonicity test)
+
+
+def test_token_budget_small_source_keeps_everything(spark):
+    from rdf_n3_spark.operators.sampling import token_budget_sample
+
+    docs = _budget_docs(spark)
+    # budget far above the corpus: every source undershoots its target
+    out = token_budget_sample(docs, 10**9, buckets=64).collect()
+    assert all(r["keep"] == 1 for r in out)
+
+
+def test_token_budget_zero_budget_keeps_nothing(spark):
+    from rdf_n3_spark.operators.sampling import token_budget_sample
+
+    docs = _budget_docs(spark)
+    out = token_budget_sample(docs, 0, buckets=64).collect()
+    assert out and all(r["keep"] == 0 for r in out)
+
+
+def test_token_budget_monotone_in_budget(spark):
+    from rdf_n3_spark.operators.sampling import token_budget_sample
+
+    docs = _budget_docs(spark)
+    keep = {}
+    for budget in (500, 1500, 4000):
+        keep[budget] = {r["doc_id"] for r in
+                        token_budget_sample(docs, budget, buckets=64)
+                        .collect() if r["keep"]}
+    assert keep[500] <= keep[1500] <= keep[4000]
+
+
+def test_token_budget_partition_independent(spark):
+    from rdf_n3_spark.operators.sampling import token_budget_sample
+
+    docs = _budget_docs(spark)
+    a = sorted(map(tuple, token_budget_sample(docs, 1500).collect()))
+    b = sorted(map(tuple,
+                   token_budget_sample(docs.repartition(13), 1500).collect()))
+    assert a == b
+
+
+def test_token_budget_absent_source_is_dropped(spark):
+    from rdf_n3_spark.operators.sampling import token_budget_sample
+
+    docs = _budget_docs(spark)
+    w = spark.createDataFrame(
+        [("src0", 700000), ("src1", 300000)],
+        "source string, weight_ppm bigint")
+    out = token_budget_sample(docs, 1500, weights=w).collect()
+    assert {r["source"] for r in out} == {"src0", "src1"}
+
+
+def test_token_budget_plan_broadcasts_thresholds(spark):
+    """The corpus-sized branch pays ONE aggregate exchange; the
+    threshold table comes back as a broadcast — no corpus-keyed
+    sort-merge join, no corpus-sized window."""
+    from rdf_n3_spark.operators.sampling import token_budget_sample
+
+    plan = (token_budget_sample(_budget_docs(spark, 40), 500)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
