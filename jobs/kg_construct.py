@@ -61,6 +61,12 @@ def main(argv=None) -> int:
                     "input for plans/bgp.order_patterns) + characteristic "
                     "sets (exact star-join cardinalities) + the coverage "
                     "fingerprint run_bgp's planner guard checks")
+    ap.add_argument("--export-nquads", action="store_true",
+                    help="also write the committed store as a flat "
+                    "line-per-statement N-Quads text export under "
+                    "graph-root/export/batch=<id> (the zero-shuffle "
+                    "interchange format downstream consumers parse "
+                    "without this engine)")
     ap.add_argument("--relations", action="store_true",
                     help="also mine pattern-based relation triples from the "
                     "staged mentions (operators/relations.relation_triples) "
@@ -168,6 +174,32 @@ def main(argv=None) -> int:
         metrics["profile"] = write_profile(
             spark, store, args.graph_root, args.batch_id,
             covers=committed_batches(spark, args.graph_root))
+
+    # Stage 4 (optional): flat N-Quads export of the COMMITTED store —
+    # a pure narrow Project over the graph read-back (zero shuffle,
+    # zero Python; sources/n3_sink.serialize_nquads), one text part
+    # per store partition.  Compact KG terms expand through the
+    # deterministic urn:x-kg fallback, so every line is strict
+    # N-Triples any parser (including this engine's) round-trips.
+    # The batch's own export dir is overwritten wholesale: the export
+    # is a pure function of the committed store, so a re-run (crashed
+    # or repeated) converges to the same bytes instead of appending.
+    if args.export_nquads:
+        from pyspark.sql import functions as F
+
+        from rdf_n3_spark.operators.materialize import read_graph
+        from rdf_n3_spark.sources.n3_sink import serialize_nquads
+
+        store = (
+            read_graph(spark, args.graph_root, "edges").select("s", "p", "o")
+            .unionByName(
+                read_graph(spark, args.graph_root, "node_props")
+                .select("s", "p", F.col("val").alias("o")))
+        )
+        export_path = os.path.join(
+            args.graph_root, "export", f"batch={args.batch_id}")
+        serialize_nquads(store).write.mode("overwrite").text(export_path)
+        metrics["export_nquads"] = export_path
 
     print(json.dumps(metrics))
     return 0

@@ -136,3 +136,51 @@ def test_job_relations_and_bgp_feedback(tmp_path, spark):
     got2 = {tuple(sorted(r.asDict().items()))
             for r in run_bgp(spark, str(root), pats).collect()}
     assert got2 >= want
+
+
+def test_job_export_nquads(tmp_path, spark):
+    """--export-nquads writes the committed store as strict
+    line-per-statement N-Triples text that the engine's own parser
+    round-trips (term-exact after the urn:x-kg compact expansion)."""
+    root = tmp_path / "graph"
+    out = subprocess.run(
+        [sys.executable, "jobs/kg_construct.py",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--graph-root", str(root),
+         "--batch-id", "b0",
+         "--repartition", "8",
+         "--export-nquads"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["export_nquads"].endswith("export/batch=b0")
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from rdf_n3_spark.functions.n3_parser import parse_n3
+    from rdf_n3_spark.operators.materialize import read_graph
+
+    store = (
+        read_graph(spark, str(root), "edges").select("s", "p", "o")
+        .unionByName(read_graph(spark, str(root), "node_props")
+                     .select("s", "p", F.col("val").alias("o")))
+    )
+    lines = [r["value"] for r in
+             spark.read.text(m["export_nquads"]).collect()]
+    assert len(lines) == store.count()
+    assert all(li.startswith("<") and li.endswith(" .") for li in lines)
+    # full round-trip through the engine's parser: one statement per
+    # line, and every compact store term is recoverable from its
+    # urn:x-kg expansion
+    parsed = parse_n3("\n".join(lines))
+    assert len(parsed) == len(lines)
+
+    def compact(term):
+        if term.startswith("<urn:x-kg:"):
+            return term[len("<urn:x-kg:"):-1].replace("/", ":", 1)
+        return term
+    got = {(compact(s), compact(p), compact(o)) for s, p, o, _ in parsed}
+    want = {(r["s"], r["p"], r["o"]) for r in store.collect()}
+    assert got == want
