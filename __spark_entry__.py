@@ -61,6 +61,8 @@ from rdf_n3_spark.operators.events import (
     event_quantiles,
     event_rollup,
     histogram_quantiles,
+    props_extract,
+    props_rollup,
     sessionize_batch,
 )
 from rdf_n3_spark.operators.lists import contract_ladders, expand_list_column
@@ -1362,7 +1364,8 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "token_budget_sample", "n3_write_nquads", "token_heavy_hitters",
+    "event_props", "event_props_rollup", "token_budget_sample",
+    "n3_write_nquads", "token_heavy_hitters",
     "bloom_decontaminate", "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
     # (pytest-oracle green since r4; driver-certified this round)
@@ -1529,6 +1532,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (≤ 327.53) without clamping the upper percentiles
         "event_histogram_quantiles": lambda s, d: histogram_quantiles(
             s.read.parquet(f"{d}/events.parquet"), width_cents=600),
+        # schema-on-read over the semi-structured props JSON bag
+        "event_props": lambda s, d: props_extract(
+            s.read.parquet(f"{d}/events.parquet")),
+        "event_props_rollup": lambda s, d: props_rollup(
+            s.read.parquet(f"{d}/events.parquet")),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -2933,6 +2941,33 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             FROM c CROSS JOIN pp
             WHERE c.cum >= floor(pp.p * (c.total - 1) / 100.0) + 1
             GROUP BY c.event_type, pp.p
+        """,
+        # mirrors events.props_extract: schema-on-read JSON path with
+        # NULL-on-malformed/missing/uncastable per-row degradation
+        # (TRY_CAST AS JSON = Spark get_json_object's tolerance)
+        "event_props": """
+            SELECT event_id, event_type,
+                   TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                            AS BIGINT) AS k
+            FROM events
+        """,
+        # mirrors events.props_rollup: one exact-integer aggregate per
+        # event_type over the extracted field (sum cast back to BIGINT
+        # — DuckDB widens integer sums to HUGEINT)
+        "event_props_rollup": """
+            WITH x AS (
+              SELECT event_type,
+                     TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                              AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_with_field,
+                   CAST(sum(k) AS BIGINT) AS sum_f,
+                   CAST(min(k) AS BIGINT) AS min_f,
+                   CAST(max(k) AS BIGINT) AS max_f
+            FROM x GROUP BY event_type
         """,
         # mirrors events.event_quantiles: exact nearest-rank(lower)
         # element selection — bit-portable, unlike sketch/interpolated

@@ -248,3 +248,46 @@ def histogram_quantiles(events: DataFrame, width_cents: int = 100,
         )
         picks = cand if picks is None else picks.unionByName(cand)
     return picks
+
+
+def props_extract(events: DataFrame,
+                  fields: dict[str, str] | None = None) -> DataFrame:
+    """(event_id, event_type, <field>…) — schema-on-read extraction of
+    the semi-structured ``props`` JSON column into typed columns
+    (``fields`` maps JSON key → Spark cast type, default ``{"k":
+    "bigint"}``).
+
+    Every event pipeline carries a property bag like this; the Spark
+    answer is `get_json_object` (JVM-side JSON path, whole-stage
+    codegen) + `try`-semantics cast, a pure narrow map — zero shuffle,
+    zero Python, pushdown-friendly (plan-audited).  Malformed JSON,
+    a missing key, or an uncastable value degrade to NULL for THAT
+    field of THAT row (the per-row poisoned-input contract the N3
+    parser established); the DuckDB mirror gets identical semantics
+    via ``TRY_CAST(props AS JSON)``.
+    """
+    fields = fields or {"k": "bigint"}
+    cols = [
+        F.get_json_object("props", f"$.{name}").try_cast(t).alias(name)
+        for name, t in fields.items()
+    ]
+    return events.select("event_id", "event_type", *cols)
+
+
+def props_rollup(events: DataFrame, field: str = "k") -> DataFrame:
+    """(event_type, n_events, n_with_field, sum_f, min_f, max_f) — the
+    per-type aggregate over one extracted props field: ONE map-side-
+    combinable groupBy straight on top of :func:`props_extract`
+    (integer sums only — exact, associative, engine-portable; a mean
+    is ``sum_f / n_with_field`` downstream at whatever precision the
+    consumer wants).  NULL-extracted rows count in ``n_events`` but
+    not in ``n_with_field``/``sum_f`` — distinguishing "no events"
+    from "events without the property"."""
+    x = props_extract(events, {field: "bigint"})
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(field).alias("n_with_field"),
+        F.sum(field).alias("sum_f"),
+        F.min(field).alias("min_f"),
+        F.max(field).alias("max_f"),
+    )

@@ -180,3 +180,59 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
                for r in histogram_quantiles(
                    ev.repartition(17), width_cents=600).collect()}
     assert approx2 == approx
+
+
+# ----------------------------------------------------- props schema-on-read
+
+def test_props_extract_typed_and_poison_tolerant(spark):
+    """Well-formed rows extract typed values; malformed JSON, missing
+    keys, and uncastable values degrade to NULL for that row only."""
+    from rdf_n3_spark.operators.events import props_extract
+
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 7}'),
+         (2, "a", '{"j": 1}'),          # missing key
+         (3, "b", 'not json'),          # malformed
+         (4, "b", '{"k": "x"}'),        # uncastable
+         (5, "b", None)],               # null bag
+        "event_id bigint, event_type string, props string")
+    got = {r["event_id"]: r["k"] for r in props_extract(df).collect()}
+    assert got == {1: 7, 2: None, 3: None, 4: None, 5: None}
+
+
+def test_props_extract_multi_field_and_narrow_plan(spark):
+    from rdf_n3_spark.operators.events import props_extract
+
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 7, "tag": "x"}')],
+        "event_id bigint, event_type string, props string")
+    out = props_extract(df, {"k": "bigint", "tag": "string"})
+    assert out.collect()[0].asDict() == {
+        "event_id": 1, "event_type": "a", "k": 7, "tag": "x"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_props_rollup_known_values(spark):
+    from rdf_n3_spark.operators.events import props_rollup
+
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 5}'), (2, "a", '{"k": 3}'),
+         (3, "a", 'bad'), (4, "b", '{"k": -1}')],
+        "event_id bigint, event_type string, props string")
+    got = {r["event_type"]: r.asDict() for r in props_rollup(df).collect()}
+    assert got["a"]["n_events"] == 3 and got["a"]["n_with_field"] == 2
+    assert got["a"]["sum_f"] == 8 and got["a"]["min_f"] == 3
+    assert got["b"]["sum_f"] == -1 and got["b"]["max_f"] == -1
+
+
+def test_props_rollup_partial_aggregation(spark):
+    """The rollup must partial-aggregate before the exchange (the
+    map-side-combine contract every groupBy in the repo carries)."""
+    from rdf_n3_spark.operators.events import props_rollup
+
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 5}')] * 8,
+        "event_id bigint, event_type string, props string").repartition(4)
+    plan = props_rollup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
