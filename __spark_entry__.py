@@ -55,6 +55,7 @@ from rdf_n3_spark.operators.substrings import (
 from rdf_n3_spark.operators.clustering import (
     cluster_sample,
     embed_kmeans,
+    label_consistency,
     semdedup_prune,
 )
 from rdf_n3_spark.operators.events import (
@@ -1364,7 +1365,8 @@ def _q_frame_sample(spark, sf_dir):
 # truncated from the tail so the window stays exactly 50.
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "event_props", "event_props_rollup", "token_budget_sample",
+    "label_consistency", "event_props", "event_props_rollup",
+    "token_budget_sample",
     "n3_write_nquads", "token_heavy_hitters",
     "bloom_decontaminate", "ann_ivf_multitable",
     # the six round-4 queries that overflowed CORRECTNESS_r04's window
@@ -1549,6 +1551,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 10 == 7),
             _docs(s, d).where(F.col("doc_id") % 10 != 7)),
         "embed_kmeans": lambda s, d: embed_kmeans(_embs(s, d)),
+        # cluster-bounded kNN mislabel screen over the labeled vectors
+        "label_consistency": lambda s, d: label_consistency(_embs(s, d)),
         "semdedup_prune": lambda s, d: semdedup_prune(
             _embs(s, d), threshold=0.35),
         "cluster_sample": lambda s, d: cluster_sample(
@@ -2525,6 +2529,44 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
                    CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
             FROM af a LEFT JOIN dup d USING (vec_id)
+        """,
+        # mirrors clustering.label_consistency (k_neighbors=5): same
+        # kmeans CTEs, cluster-bounded exact-cosine top-5 neighbor
+        # vote, majority ties to the smallest label, zero-norm vectors
+        # excluded from both sides
+        "label_consistency": f"""
+            {_kmeans_ctes()},
+            nz AS (
+              SELECT af.vec_id, af.cluster, emb.label, q.e
+              FROM af JOIN qe q USING (vec_id)
+              JOIN embeddings emb USING (vec_id)
+              WHERE list_sum(list_transform(q.e, x -> x * x)) > 0
+            ),
+            nbrs AS (
+              SELECT q.vec_id AS a, q.label AS la, t.label AS lb
+              FROM nz q JOIN nz t
+                ON q.cluster = t.cluster AND q.vec_id <> t.vec_id
+              QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_COS_EXPR} DESC, t.vec_id) <= 5
+            ),
+            votes AS (
+              SELECT a, la, lb, count(*) AS cnt
+              FROM nbrs GROUP BY a, la, lb
+            ),
+            tot AS (SELECT a, sum(cnt) AS n_neighbors FROM votes GROUP BY a),
+            maj AS (
+              SELECT a, la, lb, cnt FROM votes
+              QUALIFY row_number() OVER (
+                PARTITION BY a ORDER BY cnt DESC, lb) = 1
+            )
+            SELECT m.a AS vec_id, CAST(m.la AS INT) AS label,
+                   CAST(m.lb AS INT) AS majority_label,
+                   CAST(m.cnt AS BIGINT) AS n_agree,
+                   CAST(t.n_neighbors AS BIGINT) AS n_neighbors,
+                   CAST(CASE WHEN m.lb = m.la THEN 1 ELSE 0 END AS INT)
+                     AS consistent
+            FROM maj m JOIN tot t USING (a)
         """,
         # mirrors clustering.cluster_sample (per_cluster=60, seeded
         # md5 rank within cluster)

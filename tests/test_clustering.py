@@ -83,3 +83,66 @@ def test_oracle_parity_smoke_sf(spark):
                  duck_run(oracles["semdedup_prune"], SF_SMOKE), "semdedup_prune")
     assert_match(cluster_sample(embs, per_cluster=60),
                  duck_run(oracles["cluster_sample"], SF_SMOKE), "cluster_sample")
+
+
+# ------------------------------------------------------- label_consistency
+
+def _labeled(spark, vecs, labels):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], int(l))
+         for i, (v, l) in enumerate(zip(vecs, labels))],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_label_consistency_flags_the_planted_mislabel(spark):
+    """Two tight blobs, one odd-one-out label in blob A: its top
+    neighbors all carry the blob label, so it (and only it) comes out
+    consistent = 0."""
+    from rdf_n3_spark.operators.clustering import label_consistency
+
+    vecs = _two_blobs()                     # evens ≈ blob A, odds ≈ B
+    labels = [7 if i % 2 == 0 else 3 for i in range(10)]
+    labels[4] = 9                           # planted mislabel in A
+    out = {r["vec_id"]: r for r in
+           label_consistency(_labeled(spark, vecs, labels),
+                             k_neighbors=3, k=2).collect()}
+    assert out[4]["consistent"] == 0
+    assert out[4]["majority_label"] == 7
+    assert all(r["consistent"] == 1
+               for v, r in out.items() if v != 4)
+
+
+def test_label_consistency_neighbor_counts_and_ties(spark):
+    """n_neighbors is cluster-bounded (cluster of 3 → 2 neighbors even
+    with k_neighbors=5) and majority ties break to the SMALLEST label."""
+    from rdf_n3_spark.operators.clustering import label_consistency
+
+    # one tight blob of 3: labels 5, 2, 8 → every vector sees one 
+    # vote for each other label, tie → smaller label wins
+    base = [1.0] + [0.0] * 63
+    vecs = [[x + 0.001 * i for x in base] for i in range(3)]
+    out = {r["vec_id"]: r for r in
+           label_consistency(_labeled(spark, vecs, [5, 2, 8]),
+                             k_neighbors=5, k=1).collect()}
+    assert all(r["n_neighbors"] == 2 for r in out.values())
+    assert out[0]["majority_label"] == 2    # ties 2 vs 8 → 2
+    assert out[1]["majority_label"] == 5    # ties 5 vs 8 → 5
+    assert out[2]["majority_label"] == 2    # ties 5 vs 2 → 2
+    assert all(r["consistent"] == 0 for r in out.values())
+    assert all(r["n_agree"] == 1 for r in out.values())
+
+
+def test_label_consistency_zero_norm_excluded(spark):
+    """A zero vector neither judges nor gets judged (the NaN lesson)."""
+    from rdf_n3_spark.operators.clustering import label_consistency
+
+    base = [1.0] + [0.0] * 63
+    vecs = [[x + 0.001 * i for x in base] for i in range(3)]
+    vecs.append([0.0] * 64)                 # degenerate
+    out = {r["vec_id"]: r for r in
+           label_consistency(_labeled(spark, vecs, [1, 1, 1, 2]),
+                             k_neighbors=5, k=1).collect()}
+    assert 3 not in out
+    assert all(r["consistent"] == 1 and r["n_neighbors"] == 2
+               for r in out.values())
