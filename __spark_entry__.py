@@ -61,6 +61,8 @@ from rdf_n3_spark.operators.clustering import (
 from rdf_n3_spark.operators.events import (
     event_quantiles,
     event_rollup,
+    funnel_counts,
+    funnel_reach,
     histogram_quantiles,
     props_extract,
     props_rollup,
@@ -1363,8 +1365,11 @@ def _q_frame_sample(spark, sf_dir):
 # priority-ordered re-certification slate (reference §2 surface first,
 # then north-rule reps, then the heaviest beyond-reference machinery)
 # truncated from the tail so the window stays exactly 50.
+_FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "event_funnel", "event_funnel_counts",
     "label_consistency", "event_props", "event_props_rollup",
     "token_budget_sample",
     "n3_write_nquads", "token_heavy_hitters",
@@ -1539,6 +1544,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet")),
         "event_props_rollup": lambda s, d: props_rollup(
             s.read.parquet(f"{d}/events.parquet")),
+        # sequential view→click→signup→purchase funnel, one-shuffle
+        # sorted-array fold per user
+        "event_funnel": lambda s, d: funnel_reach(
+            s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
+        "event_funnel_counts": lambda s, d: funnel_counts(
+            s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -3010,6 +3021,58 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    CAST(min(k) AS BIGINT) AS min_f,
                    CAST(max(k) AS BIGINT) AS max_f
             FROM x GROUP BY event_type
+        """,
+        # mirrors events.funnel_reach (view→click→signup→purchase):
+        # the iterative-min chain — step i's time is the earliest
+        # occurrence at or after step i-1's time — which the Spark
+        # operator computes as a greedy fold over the (ts, step)-sorted
+        # per-user event array (provably the same chain)
+        "event_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+            ),
+            s0 AS (SELECT user_id, min(ts) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'signup' AND e.ts >= s1.t GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.t IS NOT NULL THEN 4
+                             WHEN s2.t IS NOT NULL THEN 3
+                             WHEN s1.t IS NOT NULL THEN 2
+                             WHEN s0.t IS NOT NULL THEN 1
+                             ELSE 0 END AS INT) AS reached
+            FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        # mirrors events.funnel_counts over the same chain
+        "event_funnel_counts": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+            ),
+            s0 AS (SELECT user_id, min(ts) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'signup' AND e.ts >= s1.t GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id)
+            SELECT CAST(step_idx AS INT) AS step_idx, step,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (
+              SELECT 0 AS step_idx, 'view' AS step,
+                     (SELECT count(*) FROM s0) AS n_users
+              UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+              UNION ALL SELECT 2, 'signup', (SELECT count(*) FROM s2)
+              UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            )
         """,
         # mirrors events.event_quantiles: exact nearest-rank(lower)
         # element selection — bit-portable, unlike sketch/interpolated

@@ -291,3 +291,56 @@ def props_rollup(events: DataFrame, field: str = "k") -> DataFrame:
         F.min(field).alias("min_f"),
         F.max(field).alias("max_f"),
     )
+
+
+def funnel_reach(events: DataFrame, steps: list[str]) -> DataFrame:
+    """(user_id, reached) — sequential funnel progression: ``reached``
+    = how many of ``steps`` the user completed IN ORDER, where step
+    ``i`` counts only at a timestamp ≥ the time step ``i-1`` was
+    reached (ties allowed: same-timestamp events may complete
+    consecutive steps).  Output has one row per user with ≥ 1
+    funnel-step event; ``reached = 0`` means the user has later-step
+    events but never did step one.
+
+    The naive formulation is k-1 dependent join+groupBy rounds (one
+    conditional min per step).  This is the ONE-shuffle plan instead:
+    filter to funnel events (pushed to the scan), collect each user's
+    (ts, step_idx) pairs, `array_sort`, and fold with the `aggregate`
+    HOF — greedy earliest-match over the sorted array, which computes
+    exactly the iterative-min chain (the greedy matches the
+    lexicographically-earliest completion sequence).  Everything stays
+    JVM-side; per-user state is that user's funnel events only (the
+    sessionize/event_quantiles per-key memory contract)."""
+    idx = None
+    for i, s in enumerate(steps):
+        c = F.when(F.col("event_type") == s, i)
+        idx = c if idx is None else idx.when(F.col("event_type") == s, i)
+    arr = (
+        events.where(F.col("event_type").isin(list(steps)))
+        .select("user_id", F.struct(F.col("ts"), idx.alias("step_idx"))
+                .alias("ev"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+    )
+    reached = F.aggregate(
+        "evs", F.lit(0),
+        lambda acc, x: F.when(x["step_idx"] == acc, acc + 1).otherwise(acc),
+    )
+    return arr.select("user_id", reached.cast("int").alias("reached"))
+
+
+def funnel_counts(events: DataFrame, steps: list[str]) -> DataFrame:
+    """(step_idx, step, n_users) — the funnel report: for each step,
+    how many users progressed at least that far (sequentially, per
+    :func:`funnel_reach`).  One tiny k-row aggregate over the per-user
+    reach — monotonically non-increasing down the funnel."""
+    r = funnel_reach(events, steps)
+    one = r.agg(*[
+        F.sum(F.when(F.col("reached") >= i + 1, 1).otherwise(0))
+        .cast("bigint").alias(f"s{i}")
+        for i in range(len(steps))
+    ])  # ONE pass over the reach table, k conditional sums
+    stack = ", ".join(
+        f"CAST({i} AS INT), '{s}', s{i}" for i, s in enumerate(steps))
+    return one.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)")

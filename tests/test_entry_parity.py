@@ -101,7 +101,7 @@ CROSS_SF = [
     # round-5 queries
     "ann_ivf_multitable", "bloom_decontaminate", "token_heavy_hitters",
     "n3_write_nquads", "token_budget_sample", "event_props_rollup",
-    "label_consistency",
+    "label_consistency", "event_funnel",
 ]
 
 

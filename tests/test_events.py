@@ -236,3 +236,70 @@ def test_props_rollup_partial_aggregation(spark):
         "event_id bigint, event_type string, props string").repartition(4)
     plan = props_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
+
+
+# ------------------------------------------------------------------ funnel
+
+def _fev(spark, rows):
+    import datetime
+    return spark.createDataFrame(
+        [(u, datetime.datetime(2026, 1, 1, 0, 0, s), t)
+         for u, s, t in rows],
+        "user_id bigint, ts timestamp, event_type string")
+
+
+def test_funnel_reach_sequential_semantics(spark):
+    """Order matters: a purchase BEFORE the signup doesn't count, a
+    later one does; same-timestamp consecutive steps progress."""
+    from rdf_n3_spark.operators.events import funnel_reach
+
+    steps = ["view", "click", "signup"]
+    ev = _fev(spark, [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "signup"),   # full
+        (2, 5, "click"), (2, 6, "view"),                     # click early
+        (3, 0, "signup"),                                    # no view
+        (4, 0, "view"), (4, 0, "click"), (4, 0, "signup"),   # all tied
+        (5, 0, "view"), (5, 1, "signup"),                    # skip click
+    ])
+    got = {r["user_id"]: r["reached"]
+           for r in funnel_reach(ev, steps).collect()}
+    assert got == {1: 3, 2: 1, 3: 0, 4: 3, 5: 1}
+
+
+def test_funnel_reach_uses_earliest_chain(spark):
+    """Greedy earliest matching equals the iterative-min chain: the
+    SECOND view (after the click) must not reset progression."""
+    from rdf_n3_spark.operators.events import funnel_reach
+
+    ev = _fev(spark, [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "view"), (1, 3, "signup"),
+    ])
+    assert funnel_reach(ev, ["view", "click", "signup"]) \
+        .collect()[0]["reached"] == 3
+
+
+def test_funnel_counts_monotone(spark):
+    from rdf_n3_spark.operators.events import funnel_counts
+
+    ev = _fev(spark, [
+        (1, 0, "view"), (1, 1, "click"),
+        (2, 0, "view"),
+        (3, 0, "click"),
+    ])
+    got = {r["step_idx"]: r["n_users"]
+           for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {0: 2, 1: 1}
+
+
+def test_funnel_single_exchange(spark):
+    """The reach plan pays ONE user-keyed exchange (the groupBy) —
+    no per-step join rounds."""
+    from rdf_n3_spark.operators.events import funnel_reach
+
+    ev = _fev(spark, [(1, 0, "view")]).repartition(4)
+    plan = funnel_reach(ev, ["view", "click", "signup"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # input repartition contributes 1 Exchange; the operator adds only
+    # the single hashpartitioning(user_id) aggregate exchange
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
