@@ -89,6 +89,10 @@ from rdf_n3_spark.operators.sketch import (
     kmv_distinct_tokens,
     token_heavy_hitters,
 )
+from rdf_n3_spark.operators.conversations import (
+    conversation_stats,
+    role_protocol,
+)
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.multimodal import (
     extract_features,
@@ -1369,6 +1373,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "conv_stats", "conv_role_protocol",
     "event_funnel", "event_funnel_counts",
     "label_consistency", "event_props", "event_props_rollup",
     "token_budget_sample",
@@ -1416,6 +1421,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_build": _q_transcripts,
+        # conversation-grain curation profile; raw timestamps exported
+        # as epoch bigints for the cross-engine compare (the
+        # transcripts_build ts_epoch discipline)
+        "conv_stats": lambda s, d: conversation_stats(
+            transcripts(s, d)).select(
+                "conv_id", "n_turns", "n_user", "n_assistant",
+                "n_tool_role", "n_tool_calls", "n_tokens", "n_chars",
+                F.unix_timestamp("first_ts").cast("bigint")
+                .alias("first_epoch"),
+                F.unix_timestamp("last_ts").cast("bigint")
+                .alias("last_epoch"),
+                "duration_seconds"),
+        "conv_role_protocol": lambda s, d: role_protocol(
+            transcripts(s, d)),
         "mention_extract": _q_mentions,
         "triple_emit": _q_mention_triples,
         "entity_agg": _q_entity_triples,
@@ -1777,6 +1796,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    CAST(epoch(ts) AS BIGINT) AS ts_epoch
             FROM transcripts
+        """,
+        # mirrors conversations.conversation_stats: one exact-integer
+        # conv-keyed aggregate (epoch seconds for the timestamps)
+        "conv_stats": f"""
+            WITH {_T}
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_role,
+                   CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_calls,
+                   CAST(sum(len(string_split(lower(text), ' ')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(sum(len(text)) AS BIGINT) AS n_chars,
+                   CAST(epoch(min(ts)) AS BIGINT) AS first_epoch,
+                   CAST(epoch(max(ts)) AS BIGINT) AS last_epoch,
+                   CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT)
+                     AS duration_seconds
+            FROM transcripts GROUP BY conv_id
+        """,
+        # mirrors conversations.role_protocol: the HOF fold replayed
+        # as lag/run-length windows over turn_idx order
+        "conv_role_protocol": f"""
+            WITH {_T},
+            seq AS (
+              SELECT conv_id, turn_idx, role,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev
+              FROM transcripts
+            ),
+            runs AS (
+              SELECT conv_id, role,
+                     sum(CASE WHEN prev IS NULL OR role <> prev
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
+              FROM seq
+            ),
+            runlen AS (
+              SELECT conv_id, grp, count(*) AS rl
+              FROM runs GROUP BY conv_id, grp
+            ),
+            firsts AS (
+              SELECT conv_id,
+                     CASE WHEN role = 'user' THEN 1 ELSE 0 END AS swu
+              FROM (SELECT conv_id, role,
+                           row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS rn
+                    FROM transcripts)
+              WHERE rn = 1
+            ),
+            reps AS (
+              SELECT conv_id,
+                     CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_role_repeats
+              FROM seq GROUP BY conv_id
+            ),
+            mx AS (
+              SELECT conv_id, CAST(max(rl) AS INT) AS max_role_run
+              FROM runlen GROUP BY conv_id
+            )
+            SELECT f.conv_id, CAST(f.swu AS INT) AS starts_with_user,
+                   r.n_role_repeats, m.max_role_run,
+                   CAST(CASE WHEN f.swu = 1 AND r.n_role_repeats = 0
+                             THEN 1 ELSE 0 END AS INT) AS ok
+            FROM firsts f JOIN reps r USING (conv_id)
+                          JOIN mx m USING (conv_id)
         """,
         "mention_extract": f"""
             {_MENTIONS}

@@ -1,0 +1,102 @@
+"""Conversation-level operators over the transcripts table (the
+input_hint shape: conv_id, turn_idx, role, text, tool, ts).
+
+Beyond-reference per the brief: a transcripts-corpus pipeline curates
+at the CONVERSATION grain before anything else — drop truncated or
+malformed dialogues, compute length stats for packing decisions, and
+check the role protocol (a conversation whose turns don't alternate
+sensibly is usually an ingestion bug, not data).
+
+Scale shapes: :func:`conversation_stats` is ONE map-side-combinable
+conv-keyed aggregate (exact integers only — counts, token sums, epoch
+seconds); :func:`role_protocol` is the funnel/sessionize discipline —
+one conv-keyed exchange, per-conversation `array_sort(collect_list)`
++ JVM HOF fold, state bounded by that conversation's turn count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_user, n_assistant, n_tool_role,
+    n_tool_calls, n_tokens, n_chars, first_ts, last_ts,
+    duration_seconds) — the per-conversation profile every
+    transcript-curation decision starts from (length filters, packing
+    estimates, truncation screens).
+
+    One map-side-combinable groupBy; every column is an exact integer
+    or a raw timestamp (durations in whole epoch seconds — bigint,
+    associative, engine-portable), tokens via the pipeline's shared
+    lower+space tokenizer."""
+    return (
+        transcripts.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("bigint").alias("n_user"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+            .cast("bigint").alias("n_assistant"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+            .cast("bigint").alias("n_tool_role"),
+            F.sum(F.when(F.col("tool") != "", 1).otherwise(0))
+            .cast("bigint").alias("n_tool_calls"),
+            F.sum(F.size(F.split(F.lower("text"), " ")))
+            .cast("bigint").alias("n_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint").alias("duration_seconds"),
+        )
+    )
+
+
+def role_protocol(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, starts_with_user, n_role_repeats, max_role_run, ok)
+    — the role-protocol validator: a well-formed dialogue starts with
+    a user turn and never repeats a role on consecutive turns
+    (``n_role_repeats`` counts adjacent same-role pairs in turn_idx
+    order; ``max_role_run`` is the longest same-role streak;
+    ``ok = 1`` iff it starts with user and has zero repeats).
+
+    Same one-exchange plan as the funnel: per-conversation
+    `array_sort(collect_list(struct(turn_idx, role)))` + one
+    `aggregate` HOF carrying (prev_role, repeats, run, max_run) —
+    per-conversation state only, everything JVM-side."""
+    arr = (
+        transcripts
+        .select("conv_id",
+                F.struct(F.col("turn_idx"), F.col("role")).alias("t"))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("t")).alias("ts_"))
+    )
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("rep"),
+        F.lit(0).alias("run"), F.lit(0).alias("maxrun"),
+    )
+    fold = F.aggregate(
+        "ts_", init,
+        lambda acc, x: F.struct(
+            x["role"].alias("prev"),
+            (acc["rep"] + F.when(x["role"] == acc["prev"], 1).otherwise(0))
+            .alias("rep"),
+            F.when(x["role"] == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["maxrun"],
+                F.when(x["role"] == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("maxrun"),
+        ),
+    )
+    first_user = F.when(
+        F.element_at("ts_", 1)["role"] == "user", 1).otherwise(0)
+    return arr.select(
+        "conv_id",
+        first_user.cast("int").alias("starts_with_user"),
+        fold["rep"].cast("bigint").alias("n_role_repeats"),
+        fold["maxrun"].cast("int").alias("max_role_run"),
+        F.when((first_user == 1) & (fold["rep"] == 0), 1).otherwise(0)
+        .cast("int").alias("ok"),
+    )

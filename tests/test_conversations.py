@@ -1,0 +1,87 @@
+"""Conversation-grain operators (operators/conversations): stats and
+role-protocol validation on hand-built dialogues, plan audits in the
+funnel/sessionize one-exchange style."""
+
+from __future__ import annotations
+
+import datetime
+
+from rdf_n3_spark.operators.conversations import (
+    conversation_stats,
+    role_protocol,
+)
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, x, tool,
+          datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s))
+         for c, i, r, x, tool, s in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+
+
+def test_conversation_stats_known_values(spark):
+    t = _t(spark, [
+        ("c1", 0, "user", "hello there", "", 0),
+        ("c1", 1, "assistant", "hi", "", 5),
+        ("c1", 2, "tool", "lookup result", "lookup", 9),
+        ("c2", 0, "user", "solo", "", 100),
+    ])
+    got = {r["conv_id"]: r.asDict()
+           for r in conversation_stats(t).collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 3 and c1["n_user"] == 1
+    assert c1["n_assistant"] == 1 and c1["n_tool_role"] == 1
+    assert c1["n_tool_calls"] == 1
+    assert c1["n_tokens"] == 2 + 1 + 2 and c1["n_chars"] == 11 + 2 + 13
+    assert c1["duration_seconds"] == 9
+    c2 = got["c2"]
+    assert c2["n_turns"] == 1 and c2["duration_seconds"] == 0
+    assert c2["n_tool_calls"] == 0
+
+
+def test_role_protocol_flags_violations(spark):
+    t = _t(spark, [
+        # well-formed
+        ("ok", 0, "user", "a", "", 0),
+        ("ok", 1, "assistant", "b", "", 1),
+        ("ok", 2, "user", "c", "", 2),
+        # starts with assistant
+        ("late", 0, "assistant", "a", "", 0),
+        ("late", 1, "user", "b", "", 1),
+        # double-assistant run of 3
+        ("run", 0, "user", "a", "", 0),
+        ("run", 1, "assistant", "b", "", 1),
+        ("run", 2, "assistant", "c", "", 2),
+        ("run", 3, "assistant", "d", "", 3),
+    ])
+    got = {r["conv_id"]: r.asDict() for r in role_protocol(t).collect()}
+    assert got["ok"] == {"conv_id": "ok", "starts_with_user": 1,
+                         "n_role_repeats": 0, "max_role_run": 1, "ok": 1}
+    assert got["late"]["starts_with_user"] == 0 and got["late"]["ok"] == 0
+    assert got["late"]["n_role_repeats"] == 0
+    assert got["run"]["n_role_repeats"] == 2
+    assert got["run"]["max_role_run"] == 3 and got["run"]["ok"] == 0
+
+
+def test_role_protocol_orders_by_turn_idx_not_arrival(spark):
+    """Out-of-order ingestion must not fake a repeat: turns arrive
+    shuffled but the fold sorts by turn_idx."""
+    t = _t(spark, [
+        ("c", 2, "user", "c", "", 2),
+        ("c", 0, "user", "a", "", 0),
+        ("c", 1, "assistant", "b", "", 1),
+    ]).repartition(3)
+    got = role_protocol(t).collect()[0]
+    assert got["n_role_repeats"] == 0 and got["starts_with_user"] == 1
+
+
+def test_conversation_ops_single_exchange(spark):
+    t = _t(spark, [("c", 0, "user", "a", "", 0)]).repartition(4)
+    for op in (conversation_stats, role_protocol):
+        plan = op(t)._jdf.queryExecution().executedPlan().toString()
+        # input repartition = 1 Exchange; the operator adds exactly one
+        # conv-keyed aggregate exchange, no joins, no Python
+        assert plan.count("Exchange") == 2, (op.__name__, plan)
+        assert "Join" not in plan and "Python" not in plan, op.__name__

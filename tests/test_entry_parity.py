@@ -101,7 +101,8 @@ CROSS_SF = [
     # round-5 queries
     "ann_ivf_multitable", "bloom_decontaminate", "token_heavy_hitters",
     "n3_write_nquads", "token_budget_sample", "event_props_rollup",
-    "label_consistency", "event_funnel",
+    "label_consistency", "event_funnel", "conv_stats",
+    "conv_role_protocol",
 ]
 
 
