@@ -63,6 +63,7 @@ from rdf_n3_spark.operators.events import (
     event_rollup,
     funnel_counts,
     funnel_reach,
+    retention_cohorts,
     histogram_quantiles,
     props_extract,
     props_rollup,
@@ -1373,7 +1374,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "conv_stats", "conv_role_protocol",
+    "event_retention", "conv_stats", "conv_role_protocol",
     "event_funnel", "event_funnel_counts",
     "label_consistency", "event_props", "event_props_rollup",
     "token_budget_sample",
@@ -1569,6 +1570,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
         "event_funnel_counts": lambda s, d: funnel_counts(
             s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
+        # signup-anchored daily retention triangle
+        "event_retention": lambda s, d: retention_cohorts(
+            s.read.parquet(f"{d}/events.parquet")),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
         "boilerplate_share": lambda s, d: boilerplate_share(
@@ -3138,6 +3142,33 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                              ELSE 0 END AS INT) AS reached
             FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
                    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        # mirrors events.retention_cohorts (anchor=signup, all
+        # activity): first-signup day per user, calendar-day offsets,
+        # one row per (user, offset), counted per (cohort, offset)
+        "event_retention": """
+            WITH a AS (
+              SELECT user_id, min(ts) AS first_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            anchors AS (
+              SELECT user_id,
+                     CAST(epoch(date_trunc('day', first_ts)) AS BIGINT)
+                       AS cohort_epoch,
+                     CAST(first_ts AS DATE) AS cohort_date
+              FROM a
+            ),
+            pairs AS (
+              SELECT DISTINCT e.user_id, x.cohort_epoch,
+                     CAST(date_diff('day', x.cohort_date,
+                                    CAST(e.ts AS DATE)) AS INT)
+                       AS offset_days
+              FROM events e JOIN anchors x USING (user_id)
+              WHERE date_diff('day', x.cohort_date, CAST(e.ts AS DATE)) >= 0
+            )
+            SELECT cohort_epoch, offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM pairs GROUP BY cohort_epoch, offset_days
         """,
         # mirrors events.funnel_counts over the same chain
         "event_funnel_counts": """

@@ -344,3 +344,47 @@ def funnel_counts(events: DataFrame, steps: list[str]) -> DataFrame:
         f"CAST({i} AS INT), '{s}', s{i}" for i, s in enumerate(steps))
     return one.selectExpr(
         f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)")
+
+
+def retention_cohorts(events: DataFrame, anchor: str = "signup",
+                      activity_types: list[str] | None = None) -> DataFrame:
+    """(cohort_epoch, offset_days, n_users) — classic retention
+    triangle: users cohorted by the DAY of their first ``anchor``
+    event; for each later day-offset, how many of them showed any
+    activity (optionally restricted to ``activity_types``).
+    ``cohort_epoch`` is the epoch second of the cohort day (the
+    `event_rollup` bucket_epoch discipline); offsets are CALENDAR-day
+    differences (integer date arithmetic — no epoch division, so the
+    row is exact even across DST-shifted days); activity before the
+    cohort day is excluded.
+
+    Plan: one user-keyed aggregate for the anchor day, an equi-join
+    back onto the activity stream (user-keyed, AQE-broadcastable when
+    the anchor cohort is small), one distinct on (user, cohort,
+    offset) — a user is counted once per offset however many events
+    they fired — and a final tiny (cohort × offset) count."""
+    anchors = (
+        events.where(F.col("event_type") == anchor)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "first_ts"))
+            .cast("bigint").alias("cohort_epoch"),
+            F.to_date("first_ts").alias("cohort_date"),
+        )
+    )
+    act = events if activity_types is None else events.where(
+        F.col("event_type").isin(list(activity_types)))
+    return (
+        act.select("user_id", F.to_date("ts").alias("d"))
+        .join(anchors, "user_id")
+        .select(
+            "user_id", "cohort_epoch",
+            F.datediff("d", "cohort_date").cast("int").alias("offset_days"),
+        )
+        .where(F.col("offset_days") >= 0)
+        .distinct()
+        .groupBy("cohort_epoch", "offset_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

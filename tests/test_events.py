@@ -303,3 +303,59 @@ def test_funnel_single_exchange(spark):
     # the single hashpartitioning(user_id) aggregate exchange
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+# --------------------------------------------------------------- retention
+
+def test_retention_cohorts_known_triangle(spark):
+    """Two cohort days; activity counted once per (user, offset);
+    pre-cohort activity excluded."""
+    import datetime
+    from rdf_n3_spark.operators.events import retention_cohorts
+
+    def ts(day, hour=0):
+        return datetime.datetime(2026, 1, day, hour)
+
+    rows = [
+        # user 1 signs up day 1, active day 1 (twice) and day 3
+        (1, ts(1), "signup"), (1, ts(1, 5), "click"),
+        (1, ts(1, 9), "view"), (1, ts(3), "click"),
+        # user 2 signs up day 1, active day 1 only — and a PRE-cohort
+        # view on day-0 hour that must not count (offset would be <0)
+        (2, ts(1, 2), "signup"), (2, ts(1, 3), "click"),
+        # user 3 signs up day 2, active day 3
+        (3, ts(2), "signup"), (3, ts(3), "view"),
+        # user 4 never signs up — excluded entirely
+        (4, ts(1), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, et, 0.0, "{}") for i, (u, t, et) in enumerate(rows)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string")
+    base = int(datetime.datetime(2026, 1, 1).timestamp())
+    got = {(r["cohort_epoch"], r["offset_days"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    day = 86400
+    assert got == {
+        (base, 0): 2,          # users 1, 2 active on their cohort day
+        (base, 2): 1,          # user 1 back on day 3
+        (base + day, 0): 1,    # user 3's anchor itself is day-0 activity
+        (base + day, 1): 1,    # user 3 (cohort day 2) back on day 3
+    }
+
+
+def test_retention_cohorts_activity_filter(spark):
+    import datetime
+    from rdf_n3_spark.operators.events import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [(0, 1, datetime.datetime(2026, 1, 1), "signup", 0.0, "{}"),
+         (1, 1, datetime.datetime(2026, 1, 2), "error", 0.0, "{}")],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string")
+    offs = {r["offset_days"]
+            for r in retention_cohorts(ev, activity_types=["click"])
+            .collect()}
+    assert offs == set()       # errors don't count as retention
+    offs = {r["offset_days"] for r in retention_cohorts(ev).collect()}
+    assert offs == {0, 1}      # unrestricted: signup day 0, error day 1
