@@ -63,6 +63,7 @@ from rdf_n3_spark.operators.events import (
     event_rollup,
     funnel_counts,
     funnel_reach,
+    moving_daily_stats,
     retention_cohorts,
     histogram_quantiles,
     props_extract,
@@ -1374,7 +1375,8 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "event_retention", "conv_stats", "conv_role_protocol",
+    "event_moving_stats", "event_retention",
+    "conv_stats", "conv_role_protocol",
     "event_funnel", "event_funnel_counts",
     "label_consistency", "event_props", "event_props_rollup",
     "token_budget_sample",
@@ -1572,6 +1574,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
         # signup-anchored daily retention triangle
         "event_retention": lambda s, d: retention_cohorts(
+            s.read.parquet(f"{d}/events.parquet")),
+        # trailing 7-day window over the daily per-type series
+        "event_moving_stats": lambda s, d: moving_daily_stats(
             s.read.parquet(f"{d}/events.parquet")),
         "boilerplate_ngrams": lambda s, d: boilerplate_ngrams(
             _docs(s, d), n=3, min_docs=5),
@@ -3142,6 +3147,29 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                              ELSE 0 END AS INT) AS reached
             FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
                    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        # mirrors events.moving_daily_stats (7-day trailing RANGE
+        # frame over the tiny daily rollup; integer cents + floor-div
+        # average)
+        "event_moving_stats": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                       AS bucket_epoch,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_epoch, n_events, total_cents,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS trail_n,
+                   CAST(sum(total_cents) OVER w AS BIGINT) AS trail_cents,
+                   CAST(sum(total_cents) OVER w
+                        // sum(n_events) OVER w AS BIGINT)
+                     AS trail_avg_cents
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch
+                         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
         """,
         # mirrors events.retention_cohorts (anchor=signup, all
         # activity): first-signup day per user, calendar-day offsets,

@@ -388,3 +388,47 @@ def retention_cohorts(events: DataFrame, anchor: str = "signup",
         .groupBy("cohort_epoch", "offset_days")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def moving_daily_stats(events: DataFrame, days: int = 7) -> DataFrame:
+    """(event_type, bucket_epoch, n_events, total_cents, trail_n,
+    trail_cents, trail_avg_cents) — the daily series per event type
+    with a TRAILING ``days``-day window (the smoothing every metrics
+    dashboard applies): trailing sums via a RANGE frame over epoch
+    seconds, so days with NO events simply don't extend the frame
+    (gaps are handled by value range, not row offsets).
+
+    Scale: the corpus collapses to the tiny (event_type × day) rollup
+    via one map-side-combinable groupBy FIRST; the range window runs
+    over that rollup only.  All integers — counts, exact cents, and a
+    floor-div trailing average — so the series replays bit-for-bit in
+    any engine."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        events.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts"))
+            .cast("bigint").alias("bucket_epoch"),
+            cents.alias("__c"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__c").alias("total_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("bucket_epoch")
+        .rangeBetween(-(days - 1) * 86400, 0)
+    )
+    return daily.select(
+        "event_type", "bucket_epoch", "n_events", "total_cents",
+        F.sum("n_events").over(w).cast("bigint").alias("trail_n"),
+        F.sum("total_cents").over(w).cast("bigint").alias("trail_cents"),
+        F.expr(f"CAST(sum(total_cents) OVER (PARTITION BY event_type "
+               f"ORDER BY bucket_epoch RANGE BETWEEN {(days - 1) * 86400} "
+               f"PRECEDING AND CURRENT ROW) DIV sum(n_events) OVER ("
+               f"PARTITION BY event_type ORDER BY bucket_epoch RANGE "
+               f"BETWEEN {(days - 1) * 86400} PRECEDING AND CURRENT ROW) "
+               f"AS BIGINT)").alias("trail_avg_cents"),
+    )

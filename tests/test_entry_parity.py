@@ -102,7 +102,7 @@ CROSS_SF = [
     "ann_ivf_multitable", "bloom_decontaminate", "token_heavy_hitters",
     "n3_write_nquads", "token_budget_sample", "event_props_rollup",
     "label_consistency", "event_funnel", "conv_stats",
-    "conv_role_protocol", "event_retention",
+    "conv_role_protocol", "event_retention", "event_moving_stats",
 ]
 
 

@@ -359,3 +359,45 @@ def test_retention_cohorts_activity_filter(spark):
     assert offs == set()       # errors don't count as retention
     offs = {r["offset_days"] for r in retention_cohorts(ev).collect()}
     assert offs == {0, 1}      # unrestricted: signup day 0, error day 1
+
+
+# ----------------------------------------------------- moving daily stats
+
+def test_moving_daily_stats_gap_aware_trailing_window(spark):
+    """RANGE framing: a 2-day window over days 1, 2, 5 — day 5's
+    trailing stats must NOT include day 2 (value range, not rows)."""
+    import datetime
+    from rdf_n3_spark.operators.events import moving_daily_stats
+
+    def ev(i, day, v):
+        return (i, 1, datetime.datetime(2026, 1, day), "click", v, "{}")
+
+    df = spark.createDataFrame(
+        [ev(0, 1, 1.00), ev(1, 1, 2.00), ev(2, 2, 4.00), ev(3, 5, 8.00)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string")
+    got = {r["bucket_epoch"]: r.asDict()
+           for r in moving_daily_stats(df, days=2).collect()}
+    base = int(datetime.datetime(2026, 1, 1).timestamp())
+    day = 86400
+    d1, d2, d5 = got[base], got[base + day], got[base + 4 * day]
+    assert d1["trail_n"] == 2 and d1["trail_cents"] == 300
+    assert d2["trail_n"] == 3 and d2["trail_cents"] == 700   # days 1+2
+    assert d5["trail_n"] == 1 and d5["trail_cents"] == 800   # gap: alone
+    assert d2["trail_avg_cents"] == 700 // 3
+    assert d5["trail_avg_cents"] == 800
+
+
+def test_moving_daily_stats_window_runs_after_rollup(spark):
+    """The range window's child must be the (type, day) aggregate —
+    never the raw events (the histogram_quantiles tiny-window rule)."""
+    import datetime
+    from rdf_n3_spark.operators.events import moving_daily_stats
+
+    df = spark.createDataFrame(
+        [(0, 1, datetime.datetime(2026, 1, 1), "click", 1.0, "{}")] * 8,
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string")
+    plan = moving_daily_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
