@@ -205,6 +205,16 @@ def main() -> None:
     )
     from rdf_n3_spark.operators.similarity import ivf_topk_tables
 
+    # conversation-grain profile over the REPLICATED corpus (scales
+    # with the headline) and the funnel evidence row
+    from rdf_n3_spark.operators.conversations import conversation_stats
+    from rdf_n3_spark.operators.events import funnel_reach
+
+    conv = sink(conversation_stats(transcripts_df).drop(
+        "first_ts", "last_ts"))
+    funnel = sink(funnel_reach(
+        ev_tbl, ["view", "click", "signup", "purchase"]))
+
     rel = sink(relation_candidates(transcripts_df, mentions=m))
     cs = sink(characteristic_sets(
         mention_triples(m).unionByName(entity_triples(m))))
@@ -260,6 +270,8 @@ def main() -> None:
         "ann_ivf_multitable": lambda: timed_runs(ann_mt, runs, stat),
         "bloom_decontaminate": lambda: timed_runs(bloom, runs, stat),
         "token_heavy_hitters": lambda: timed_runs(hh, runs, stat),
+        "conv_stats": lambda: timed_runs(conv, runs, stat),
+        "event_funnel": lambda: timed_runs(funnel, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
