@@ -105,3 +105,46 @@ def read_bloom_rollup(spark: SparkSession, out_dir: str, probes: DataFrame,
     merged = bloom_merge_all(spark.read.parquet(out_dir))
     return bloom_probe(merged, probes, value,
                        m_bits=m_bits, k_hashes=k_hashes)
+
+
+def stream_conversation_rollup(stream: DataFrame, out_dir: str,
+                               checkpoint_dir: str):
+    """Per-epoch PARTIAL conversation stats (the same mergeable-state
+    discipline as the sketches — counts and sums add, first/last
+    timestamps min/max): each micro-batch of transcript turns writes
+    its per-conversation partials to an epoch partition; a
+    conversation whose turns span epochs folds exactly on read.
+    Finish with :func:`read_conversation_rollup`."""
+    from rdf_n3_spark.operators.conversations import conversation_stats
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
+
+    return epoch_overwrite_sink(
+        stream, out_dir, checkpoint_dir,
+        lambda batch_df, _e: conversation_stats(batch_df)
+        .drop("duration_seconds"))
+
+
+def read_conversation_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold every epoch's partials: EQUALS
+    `conversations.conversation_stats` over the full turn history
+    (duration recomputed from the folded min/max — a duration is NOT
+    additive across epochs)."""
+    df = spark.read.parquet(out_dir)
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.sum("n_turns").cast("bigint").alias("n_turns"),
+            F.sum("n_user").cast("bigint").alias("n_user"),
+            F.sum("n_assistant").cast("bigint").alias("n_assistant"),
+            F.sum("n_tool_role").cast("bigint").alias("n_tool_role"),
+            F.sum("n_tool_calls").cast("bigint").alias("n_tool_calls"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn(
+            "duration_seconds",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
+            .cast("bigint"))
+    )

@@ -126,3 +126,61 @@ def test_bloom_rollup_equals_batch(spark, tmp_path):
     whole = {(r["word"], r["bits"])
              for r in bloom_sketch(hist, F.col("val")).collect()}
     assert folded == whole
+
+
+def test_conversation_rollup_equals_batch_across_epoch_split(spark, tmp_path):
+    """A conversation whose turns SPAN the two epochs folds to exactly
+    the batch conversation_stats row, and replayed epochs don't
+    double-count."""
+    import datetime
+
+    from rdf_n3_spark.operators.conversations import conversation_stats
+    from rdf_n3_spark.streaming.sketches import (
+        read_conversation_rollup,
+        stream_conversation_rollup,
+    )
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def turn(c, i, r, x, tool, s):
+        return (c, i, r, x, tool,
+                datetime.datetime(2026, 1, 1)
+                + datetime.timedelta(seconds=s))
+
+    src = str(tmp_path / "turns")
+    # epoch A: conv c1 turns 0-1, conv c2 turn 0
+    spark.createDataFrame([
+        turn("c1", 0, "user", "hello world", "", 0),
+        turn("c1", 1, "assistant", "hi", "", 5),
+        turn("c2", 0, "user", "solo", "", 50),
+    ], schema).coalesce(1).write.mode("append").parquet(src)
+    # epoch B: conv c1 continues — the cross-epoch fold case
+    spark.createDataFrame([
+        turn("c1", 2, "tool", "result rows", "lookup", 9),
+    ], schema).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "convs")
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = stream_conversation_rollup(stream, out, ck).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck0"))
+    epochs = {r["epoch"] for r in spark.read.parquet(out).collect()}
+    assert len(epochs) == 2, epochs
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["n_turns"], r["n_user"], r["n_tool_calls"],
+             r["n_tokens"], r["n_chars"], r["duration_seconds"])
+            for r in df.collect())
+
+    want = rows(conversation_stats(spark.read.parquet(src)))
+    assert rows(read_conversation_rollup(spark, out)) == want
+    # crash-replay with a fresh checkpoint: same epochs overwrite
+    # themselves, the fold must not double
+    run(str(tmp_path / "ck1"))
+    assert rows(read_conversation_rollup(spark, out)) == want
