@@ -24,7 +24,9 @@ own uncommitted files.  --profile writes the KB statistics (VoID +
 characteristic sets) over the COMMITTED store with a coverage
 fingerprint; :func:`run_bgp` closes the loop, feeding the written
 profile back into the BGP planner's join ordering iff the fingerprint
-still matches the store.
+still matches the store.  --export-nquads writes the committed store
+as flat line-per-statement N-Quads text (the zero-shuffle interchange
+export; overwrite-idempotent per batch).
 
 Local smoke: python jobs/kg_construct.py --sf-dir /root/testdata/sf0.001
              --graph-root /tmp/kg --batch-id b0
