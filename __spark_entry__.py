@@ -1363,9 +1363,10 @@ def _q_frame_sample(spark, sf_dir):
 # CORRECTNESS_r04) but its own 6 newest overflowed.  ROUND 5 completes
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
-# triangle_counts_capped) lead the window, so after CORRECTNESS_r05
-# every query (105 incl. this round's additions) has a driver-green
-# row in some round's artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
+# triangle_counts_capped) lead the window together with every new
+# round-5 operator, so after CORRECTNESS_r05 every query (117 incl.
+# this round's additions) has a driver-green row in some round's
+# artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
 # new queries enter at the head of _ROUND_NEW; _RECERTIFY is the
 # priority-ordered re-certification slate (reference §2 surface first,
