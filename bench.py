@@ -215,7 +215,7 @@ def main() -> None:
     funnel = sink(funnel_reach(
         ev_tbl, ["view", "click", "signup", "purchase"]))
 
-    rel = sink(relation_candidates(transcripts_df, mentions=m))
+    rel = sink(relation_candidates(transcripts_df))
     cs = sink(characteristic_sets(
         mention_triples(m).unionByName(entity_triples(m))))
     kmv = sink(kmv_distinct_tokens(docs_tbl))

@@ -71,7 +71,8 @@ def main(argv=None) -> int:
                     "without this engine)")
     ap.add_argument("--relations", action="store_true",
                     help="also mine pattern-based relation triples from the "
-                    "staged mentions (operators/relations.relation_triples) "
+                    "transcripts in one in-array pass "
+                    "(operators/relations.relation_triples) "
                     "and union them into the triple stream before "
                     "materialization")
     args = ap.parse_args(argv)
@@ -146,7 +147,7 @@ def main(argv=None) -> int:
     if args.relations:
         from rdf_n3_spark.operators.relations import relation_triples
 
-        triples = triples.unionByName(relation_triples(t, mentions=m))
+        triples = triples.unionByName(relation_triples(t))
     metrics = materialize_graph(spark, triples, args.graph_root, args.batch_id)
 
     # Stage 3 (optional): the statistics a production store maintains

