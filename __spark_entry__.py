@@ -94,6 +94,7 @@ from rdf_n3_spark.operators.sketch import (
 from rdf_n3_spark.operators.conversations import (
     conversation_stats,
     role_protocol,
+    turn_transitions,
 )
 from rdf_n3_spark.operators.mentions import extract_mentions
 from rdf_n3_spark.operators.multimodal import (
@@ -1364,7 +1365,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (117 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (118 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1376,6 +1377,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "conv_transitions",
     "event_moving_stats", "event_retention",
     "conv_stats", "conv_role_protocol",
     "event_funnel", "event_funnel_counts",
@@ -1438,6 +1440,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("last_epoch"),
                 "duration_seconds"),
         "conv_role_protocol": lambda s, d: role_protocol(
+            transcripts(s, d)),
+        "conv_transitions": lambda s, d: turn_transitions(
             transcripts(s, d)),
         "mention_extract": _q_mentions,
         "triple_emit": _q_mention_triples,
@@ -1832,6 +1836,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors conversations.role_protocol: the HOF fold replayed
         # as lag/run-length windows over turn_idx order
+        # mirrors conversations.turn_transitions: the same lag pairing,
+        # aggregated to the role-pair matrix with exact bigint gap sums
+        "conv_transitions": f"""
+            WITH {_T},
+            seq AS (
+              SELECT conv_id,
+                     lag(role) OVER w AS role_from,
+                     role AS role_to,
+                     epoch(ts) - lag(epoch(ts)) OVER w AS gap_s
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT role_from, role_to,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(gap_s) AS BIGINT) AS total_gap_seconds,
+                   CAST(max(gap_s) AS BIGINT) AS max_gap_seconds
+            FROM seq WHERE role_from IS NOT NULL
+            GROUP BY role_from, role_to
+        """,
         "conv_role_protocol": f"""
             WITH {_T},
             seq AS (

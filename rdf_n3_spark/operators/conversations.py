@@ -100,3 +100,42 @@ def role_protocol(transcripts: DataFrame) -> DataFrame:
         F.when((first_user == 1) & (fold["rep"] == 0), 1).otherwise(0)
         .cast("int").alias("ok"),
     )
+
+
+def turn_transitions(transcripts: DataFrame) -> DataFrame:
+    """(role_from, role_to, n, n_convs, total_gap_seconds,
+    max_gap_seconds) — the turn-taking transition matrix with timing:
+    for every pair of CONSECUTIVE turns (turn_idx order inside one
+    conversation), who spoke next and how long the hand-off took.
+    The transcript-analytics twin of role_protocol: protocol
+    validation flags broken dialogues; the transition matrix profiles
+    the corpus-wide conversational dynamics (assistant→tool fan-out
+    rate, tool→assistant return latency) a pipeline uses to pick
+    truncation and packing policies.
+
+    Gap columns are exact bigint epoch-second sums/maxes (associative,
+    engine-portable — the conv_stats duration discipline); no float
+    averages cross the oracle boundary: avg = total/n is the reader's
+    division.
+
+    Scale shape: one lag window partitioned by conv_id (turn pairing
+    never leaves the conversation's partition) into a map-side-
+    combinable groupBy on the 9-row role-pair key — the window's
+    conv_id exchange is the only data-sized shuffle, and a corpus
+    pre-bucketed by conv_id skips even that."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    paired = transcripts.select(
+        "conv_id",
+        F.lag("role").over(w).alias("role_from"),
+        F.col("role").alias("role_to"),
+        (F.unix_timestamp("ts")
+         - F.lag(F.unix_timestamp("ts")).over(w)).alias("gap_s"),
+    ).where(F.col("role_from").isNotNull())
+    return paired.groupBy("role_from", "role_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_seconds"),
+        F.max("gap_s").cast("bigint").alias("max_gap_seconds"),
+    )

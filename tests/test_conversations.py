@@ -9,6 +9,7 @@ import datetime
 from rdf_n3_spark.operators.conversations import (
     conversation_stats,
     role_protocol,
+    turn_transitions,
 )
 
 
@@ -85,3 +86,38 @@ def test_conversation_ops_single_exchange(spark):
         # conv-keyed aggregate exchange, no joins, no Python
         assert plan.count("Exchange") == 2, (op.__name__, plan)
         assert "Join" not in plan and "Python" not in plan, op.__name__
+
+
+def test_turn_transitions_known_values(spark):
+    t = _t(spark, [
+        ("c1", 0, "user", "q", "", 0),
+        ("c1", 1, "assistant", "a", "", 5),
+        ("c1", 2, "tool", "r", "lookup", 9),
+        ("c1", 3, "assistant", "a2", "", 10),
+        ("c2", 0, "user", "q", "", 100),
+        ("c2", 1, "assistant", "a", "", 107),
+        ("c3", 0, "user", "solo", "", 50),
+    ])
+    got = {(r["role_from"], r["role_to"]): r.asDict()
+           for r in turn_transitions(t).collect()}
+    ua = got[("user", "assistant")]
+    assert ua["n"] == 2 and ua["n_convs"] == 2
+    assert ua["total_gap_seconds"] == 5 + 7
+    assert ua["max_gap_seconds"] == 7
+    assert got[("assistant", "tool")]["total_gap_seconds"] == 4
+    assert got[("tool", "assistant")]["total_gap_seconds"] == 1
+    # the pairing is turn_idx order, not ts order; a single-turn
+    # conversation contributes no pair at all
+    assert set(got) == {("user", "assistant"), ("assistant", "tool"),
+                        ("tool", "assistant")}
+
+
+def test_turn_transitions_pairs_by_turn_idx_not_arrival(spark):
+    t = _t(spark, [
+        ("c1", 2, "tool", "r", "lookup", 9),
+        ("c1", 0, "user", "q", "", 0),
+        ("c1", 1, "assistant", "a", "", 5),
+    ])
+    got = {(r["role_from"], r["role_to"]) for r in
+           turn_transitions(t).collect()}
+    assert got == {("user", "assistant"), ("assistant", "tool")}
