@@ -207,11 +207,15 @@ def main() -> None:
 
     # conversation-grain profile over the REPLICATED corpus (scales
     # with the headline) and the funnel evidence row
-    from rdf_n3_spark.operators.conversations import conversation_stats
+    from rdf_n3_spark.operators.conversations import (
+        conversation_stats,
+        turn_transitions,
+    )
     from rdf_n3_spark.operators.events import funnel_reach
 
     conv = sink(conversation_stats(transcripts_df).drop(
         "first_ts", "last_ts"))
+    trans = sink(turn_transitions(transcripts_df))
     funnel = sink(funnel_reach(
         ev_tbl, ["view", "click", "signup", "purchase"]))
 
@@ -271,6 +275,7 @@ def main() -> None:
         "bloom_decontaminate": lambda: timed_runs(bloom, runs, stat),
         "token_heavy_hitters": lambda: timed_runs(hh, runs, stat),
         "conv_stats": lambda: timed_runs(conv, runs, stat),
+        "conv_transitions": lambda: timed_runs(trans, runs, stat),
         "event_funnel": lambda: timed_runs(funnel, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
