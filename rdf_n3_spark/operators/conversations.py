@@ -139,3 +139,71 @@ def turn_transitions(transcripts: DataFrame) -> DataFrame:
         F.sum("gap_s").cast("bigint").alias("total_gap_seconds"),
         F.max("gap_s").cast("bigint").alias("max_gap_seconds"),
     )
+
+
+def transition_partials(transcripts: DataFrame) -> DataFrame:
+    """Mergeable per-batch state for :func:`turn_transitions` — the
+    non-additive member of the continuous-rollup family (a transition
+    matrix can't just sum across epochs: a pair's two turns may land
+    in different micro-batches).  Exactness precondition: turn_idx is
+    DENSE per conversation (0..n-1, the transcripts contract
+    role_protocol validates), under which rank-consecutive pairing ==
+    idx-adjacent pairing, so adjacency is decidable locally.
+
+    Emits one unified-schema state table per batch:
+      kind 'p' — per-(conv_id, role_from, role_to) partials for pairs
+        whose BOTH turns are in this batch (n / total / max gap add
+        and max across epochs);
+      kind 'f' — forward-open turns (no idx+1 partner in this batch);
+      kind 'b' — backward-open turns (no idx-1 partner in this batch).
+    A later reader matches 'f' rows to 'b' rows at idx+1 across all
+    epochs and folds the completed pairs into the matrix — see
+    :func:`rdf_n3_spark.streaming.sketches.read_transition_rollup`.
+
+    Scale shape: one conv-keyed exchange; pairing and the open-turn
+    split are equi-joins on (conv_id, turn_idx) so Catalyst keeps
+    them co-partitioned after the first shuffle."""
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role",
+        F.unix_timestamp("ts").cast("bigint").alias("es"))
+    a, b = t.alias("a"), t.alias("b")
+    nxt = (F.col("a.turn_idx") + 1 == F.col("b.turn_idx"))
+    paired = a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & nxt)
+    pairs = (
+        paired.select(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.role").alias("role_from"),
+            F.col("b.role").alias("role_to"),
+            (F.col("b.es") - F.col("a.es")).alias("gap_s"))
+        .groupBy("conv_id", "role_from", "role_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+             F.max("gap_s").cast("bigint").alias("max_gap_s"))
+        .select(F.lit("p").alias("kind"), "conv_id", "role_from",
+                "role_to", "n", "total_gap_s", "max_gap_s",
+                F.lit(None).cast("int").alias("turn_idx"),
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("bigint").alias("es"))
+    )
+
+    def _open(anti_on_next: bool) -> DataFrame:
+        # probe carries key (conv, i∓1) per turn i, so after the
+        # anti-join a survivor x has no turn at x.turn_idx±1
+        probe = t.select(
+            "conv_id",
+            (F.col("turn_idx") + (-1 if anti_on_next else 1))
+            .alias("turn_idx"))
+        return t.join(probe, ["conv_id", "turn_idx"], "left_anti").select(
+            F.lit("f" if anti_on_next else "b").alias("kind"),
+            "conv_id",
+            F.lit(None).cast("string").alias("role_from"),
+            F.lit(None).cast("string").alias("role_to"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("bigint").alias("total_gap_s"),
+            F.lit(None).cast("bigint").alias("max_gap_s"),
+            "turn_idx", "role", "es",
+        )
+
+    # a turn with no idx+1 in the batch is forward-open; its partner
+    # (if the conversation continues) arrives backward-open elsewhere
+    return pairs.unionByName(_open(True)).unionByName(_open(False))

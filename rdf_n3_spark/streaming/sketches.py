@@ -148,3 +148,68 @@ def read_conversation_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
             (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
             .cast("bigint"))
     )
+
+
+def stream_transition_rollup(stream: DataFrame, out_dir: str,
+                             checkpoint_dir: str):
+    """Continuous :func:`~rdf_n3_spark.operators.conversations.
+    turn_transitions` — the non-additive member of this family: a
+    hand-off pair's two turns can land in different micro-batches, so
+    each epoch writes within-epoch pair partials PLUS its open
+    boundary turns (``conversations.transition_partials``), and the
+    reader completes cross-epoch pairs at fold time.  Same
+    epoch-overwrite exactly-once discipline as every rollup here.
+    Finish with :func:`read_transition_rollup`."""
+    from rdf_n3_spark.operators.conversations import transition_partials
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
+
+    return epoch_overwrite_sink(
+        stream, out_dir, checkpoint_dir,
+        lambda batch_df, _e: transition_partials(batch_df))
+
+
+def read_transition_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold every epoch's transition state: EQUALS
+    `conversations.turn_transitions` over the full turn history under
+    the dense-turn_idx contract (pinned by
+    tests/test_streaming_sketches.py, including a conversation whose
+    hand-off pair straddles two epochs).
+
+    A forward-open turn from one epoch meets its idx+1 partner — a
+    backward-open turn from ANOTHER epoch — in one equi-join on
+    (conv_id, turn_idx); the completed pairs then fold with the
+    within-epoch partials.  n_convs stays exact because partials are
+    conv-keyed until the final 9-key aggregate."""
+    df = spark.read.parquet(out_dir)
+    pairs = df.where(F.col("kind") == "p").select(
+        "conv_id", "role_from", "role_to", "n", "total_gap_s", "max_gap_s")
+    f = df.where(F.col("kind") == "f").select(
+        "conv_id", F.col("epoch").alias("f_epoch"),
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("role").alias("role_from"), F.col("es").alias("es_from"))
+    b = df.where(F.col("kind") == "b").select(
+        "conv_id", F.col("epoch").alias("b_epoch"), "turn_idx",
+        F.col("role").alias("role_to"), F.col("es").alias("es_to"))
+    crossed = (
+        f.join(b, ["conv_id", "turn_idx"])
+        # defensive: a same-epoch match is impossible by construction
+        # (if both turns shared an epoch, neither would be open)
+        .where(F.col("f_epoch") != F.col("b_epoch"))
+        .select(
+            "conv_id", "role_from", "role_to",
+            F.lit(1).cast("bigint").alias("n"),
+            (F.col("es_to") - F.col("es_from")).cast("bigint")
+            .alias("total_gap_s"),
+            (F.col("es_to") - F.col("es_from")).cast("bigint")
+            .alias("max_gap_s"))
+    )
+    return (
+        pairs.unionByName(crossed)
+        .groupBy("role_from", "role_to")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.sum("total_gap_s").cast("bigint").alias("total_gap_seconds"),
+            F.max("max_gap_s").cast("bigint").alias("max_gap_seconds"),
+        )
+    )

@@ -184,3 +184,79 @@ def test_conversation_rollup_equals_batch_across_epoch_split(spark, tmp_path):
     # themselves, the fold must not double
     run(str(tmp_path / "ck1"))
     assert rows(read_conversation_rollup(spark, out)) == want
+
+
+def test_transition_rollup_equals_batch_across_epoch_split(spark, tmp_path):
+    """A hand-off pair whose two turns land in DIFFERENT epochs folds
+    to exactly the batch turn_transitions matrix — the non-additive
+    rollup: within-epoch pairs are partials, cross-epoch pairs are
+    completed from open boundary turns at read time."""
+    import datetime
+
+    from rdf_n3_spark.operators.conversations import turn_transitions
+    from rdf_n3_spark.streaming.sketches import (
+        read_transition_rollup,
+        stream_transition_rollup,
+    )
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def turn(c, i, r, s):
+        return (c, i, r, "x", "",
+                datetime.datetime(2026, 1, 1)
+                + datetime.timedelta(seconds=s))
+
+    src = str(tmp_path / "turns")
+    # epoch A: c1 turns 0-1 (one within-epoch pair), c2 turn 1 ONLY
+    # (backward-open with no partner yet), c3 turn 0 (solo forever)
+    spark.createDataFrame([
+        turn("c1", 0, "user", 0),
+        turn("c1", 1, "assistant", 5),
+        turn("c2", 1, "assistant", 107),
+        turn("c3", 0, "user", 50),
+    ], schema).coalesce(1).write.mode("append").parquet(src)
+    # epoch B: c1 turn 2 (cross-epoch pair with c1 turn 1), c2 turn 0
+    # (cross-epoch pair ARRIVING OUT OF ORDER — the earlier turn in
+    # the later epoch)
+    spark.createDataFrame([
+        turn("c1", 2, "tool", 9),
+        turn("c2", 0, "user", 100),
+    ], schema).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "trans")
+
+    def run(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = stream_transition_rollup(stream, out, ck).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck0"))
+    epochs = {r["epoch"] for r in spark.read.parquet(out).collect()}
+    assert len(epochs) == 2, epochs
+
+    def rows(df):
+        return sorted(
+            (r["role_from"], r["role_to"], r["n"], r["n_convs"],
+             r["total_gap_seconds"], r["max_gap_seconds"])
+            for r in df.collect())
+
+    batch = spark.createDataFrame([
+        turn("c1", 0, "user", 0), turn("c1", 1, "assistant", 5),
+        turn("c1", 2, "tool", 9),
+        turn("c2", 0, "user", 100), turn("c2", 1, "assistant", 107),
+        turn("c3", 0, "user", 50),
+    ], schema)
+    want = rows(turn_transitions(batch))
+    got = rows(read_transition_rollup(spark, out))
+    assert got == want, (got, want)
+    # the user→assistant cell must show BOTH conversations (n_convs
+    # exactness across epochs) and the cross-epoch 7s gap as its max
+    ua = [r for r in got if r[0] == "user" and r[1] == "assistant"][0]
+    assert ua[2] == 2 and ua[3] == 2 and ua[5] == 7
+
+    # replay the stream with a FRESH checkpoint: epochs overwrite
+    # their own partitions, the fold must not double-count
+    run(str(tmp_path / "ck1"))
+    assert rows(read_transition_rollup(spark, out)) == want
