@@ -180,7 +180,14 @@ def read_transition_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     (conv_id, turn_idx); the completed pairs then fold with the
     within-epoch partials.  n_convs stays exact because partials are
     conv-keyed until the final 9-key aggregate."""
-    df = spark.read.parquet(out_dir)
+    return fold_transition_partials(spark.read.parquet(out_dir))
+
+
+def fold_transition_partials(df: DataFrame) -> DataFrame:
+    """The fold of :func:`read_transition_rollup`, factored over an
+    already-loaded state table (columns = ``transition_partials``
+    output + ``epoch``) so the fold==batch property can be exercised
+    over arbitrary epoch splits without a streaming run."""
     pairs = df.where(F.col("kind") == "p").select(
         "conv_id", "role_from", "role_to", "n", "total_gap_s", "max_gap_s")
     f = df.where(F.col("kind") == "f").select(

@@ -260,3 +260,59 @@ def test_transition_rollup_equals_batch_across_epoch_split(spark, tmp_path):
     # their own partitions, the fold must not double-count
     run(str(tmp_path / "ck1"))
     assert rows(read_transition_rollup(spark, out)) == want
+
+
+def test_transition_fold_equals_batch_on_random_splits(spark):
+    """Property over seeded random epoch splits: for ANY partition of
+    the turn history into epochs, fold(partials per epoch) == batch
+    turn_transitions.  Exercises splits the hand-built case can't:
+    many conversations, interleaved epochs, gaps landing anywhere."""
+    import datetime
+    import random
+
+    from rdf_n3_spark.operators.conversations import (
+        transition_partials,
+        turn_transitions,
+    )
+    from rdf_n3_spark.streaming.sketches import fold_transition_partials
+    from pyspark.sql import functions as F
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    roles = ["user", "assistant", "tool"]
+
+    def rows_of(df):
+        return sorted(
+            (r["role_from"], r["role_to"], r["n"], r["n_convs"],
+             r["total_gap_seconds"], r["max_gap_seconds"])
+            for r in df.collect())
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        turns = []
+        for c in range(6):
+            n = rng.randint(1, 9)
+            s = rng.randint(0, 1000)
+            for i in range(n):
+                s += rng.randint(0, 60)
+                turns.append((f"c{c}", i, rng.choice(roles), "x", "",
+                              datetime.datetime(2026, 1, 1)
+                              + datetime.timedelta(seconds=s)))
+        full = spark.createDataFrame(turns, schema)
+        want = rows_of(turn_transitions(full))
+
+        n_epochs = rng.randint(2, 4)
+        assign = [rng.randrange(n_epochs) for _ in turns]
+        parts = []
+        for ep in range(n_epochs):
+            sub = [t for t, a in zip(turns, assign) if a == ep]
+            if not sub:
+                continue
+            parts.append(
+                transition_partials(spark.createDataFrame(sub, schema))
+                .withColumn("epoch", F.lit(ep)))
+        state = parts[0]
+        for p in parts[1:]:
+            state = state.unionByName(p)
+        got = rows_of(fold_transition_partials(state))
+        assert got == want, (seed, got, want)
