@@ -1834,8 +1834,6 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_seconds
             FROM transcripts GROUP BY conv_id
         """,
-        # mirrors conversations.role_protocol: the HOF fold replayed
-        # as lag/run-length windows over turn_idx order
         # mirrors conversations.turn_transitions: the same lag pairing,
         # aggregated to the role-pair matrix with exact bigint gap sums
         "conv_transitions": f"""
@@ -1856,6 +1854,8 @@ def oracle_sql() -> dict[str, str]:
             FROM seq WHERE role_from IS NOT NULL
             GROUP BY role_from, role_to
         """,
+        # mirrors conversations.role_protocol: the HOF fold replayed
+        # as lag/run-length windows over turn_idx order
         "conv_role_protocol": f"""
             WITH {_T},
             seq AS (

@@ -160,21 +160,33 @@ def transition_partials(transcripts: DataFrame) -> DataFrame:
     epochs and folds the completed pairs into the matrix — see
     :func:`rdf_n3_spark.streaming.sketches.read_transition_rollup`.
 
-    Scale shape: one conv-keyed exchange; pairing and the open-turn
-    split are equi-joins on (conv_id, turn_idx) so Catalyst keeps
-    them co-partitioned after the first shuffle."""
+    Scale shape: ONE conv-partitioned window scan computes all three
+    kinds (lead decides in-batch adjacency forward, lag backward), so
+    the hot foreachBatch path pays a single exchange and a single pass
+    — no self-join and no anti-joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = transcripts.select(
         "conv_id", "turn_idx", "role",
-        F.unix_timestamp("ts").cast("bigint").alias("es"))
-    a, b = t.alias("a"), t.alias("b")
-    nxt = (F.col("a.turn_idx") + 1 == F.col("b.turn_idx"))
-    paired = a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & nxt)
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+    ).select(
+        "*",
+        F.lead("turn_idx").over(w).alias("nx_idx"),
+        F.lead("role").over(w).alias("nx_role"),
+        F.lead("es").over(w).alias("nx_es"),
+        F.lag("turn_idx").over(w).alias("pv_idx"),
+    )
+    adj_next = F.col("nx_idx") == F.col("turn_idx") + 1
+    adj_prev = F.col("pv_idx") == F.col("turn_idx") - 1
+
     pairs = (
-        paired.select(
-            F.col("a.conv_id").alias("conv_id"),
-            F.col("a.role").alias("role_from"),
-            F.col("b.role").alias("role_to"),
-            (F.col("b.es") - F.col("a.es")).alias("gap_s"))
+        t.where(adj_next)
+        .select(
+            "conv_id",
+            F.col("role").alias("role_from"),
+            F.col("nx_role").alias("role_to"),
+            (F.col("nx_es") - F.col("es")).alias("gap_s"))
         .groupBy("conv_id", "role_from", "role_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
              F.sum("gap_s").cast("bigint").alias("total_gap_s"),
@@ -186,15 +198,9 @@ def transition_partials(transcripts: DataFrame) -> DataFrame:
                 F.lit(None).cast("bigint").alias("es"))
     )
 
-    def _open(anti_on_next: bool) -> DataFrame:
-        # probe carries key (conv, i∓1) per turn i, so after the
-        # anti-join a survivor x has no turn at x.turn_idx±1
-        probe = t.select(
-            "conv_id",
-            (F.col("turn_idx") + (-1 if anti_on_next else 1))
-            .alias("turn_idx"))
-        return t.join(probe, ["conv_id", "turn_idx"], "left_anti").select(
-            F.lit("f" if anti_on_next else "b").alias("kind"),
+    def _open(kind: str, is_open) -> DataFrame:
+        return t.where(is_open).select(
+            F.lit(kind).alias("kind"),
             "conv_id",
             F.lit(None).cast("string").alias("role_from"),
             F.lit(None).cast("string").alias("role_to"),
@@ -206,4 +212,8 @@ def transition_partials(transcripts: DataFrame) -> DataFrame:
 
     # a turn with no idx+1 in the batch is forward-open; its partner
     # (if the conversation continues) arrives backward-open elsewhere
-    return pairs.unionByName(_open(True)).unionByName(_open(False))
+    return (
+        pairs
+        .unionByName(_open("f", ~F.coalesce(adj_next, F.lit(False))))
+        .unionByName(_open("b", ~F.coalesce(adj_prev, F.lit(False))))
+    )
