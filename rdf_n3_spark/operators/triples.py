@@ -144,14 +144,29 @@ def kb_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     insert/delete are idempotent on statements): each side is deduped
     before comparison, so multiplicity never leaks into the delta.
 
-    Scale shape: two left_anti equi-joins on the full (s, p, o) key —
-    co-partitioned hash joins, AQE-skew eligible, no window and no
-    driver-side set; output is delta-sized, not snapshot-sized.
+    Scale shape: ONE exchange — both sides are tagged and unioned,
+    then a single (s, p, o)-keyed aggregate takes per-side presence
+    flags (map-side combinable, so the shuffle carries at most one
+    row per distinct triple per map task); rows present on both
+    sides drop in the same pass.  This replaces the two anti-joins
+    of the naive formulation, each of which would re-shuffle both
+    snapshots on the same key.
     """
-    o = old.select("s", "p", "o").distinct()
-    n = new.select("s", "p", "o").distinct()
-    added = n.join(o, ["s", "p", "o"], "left_anti") \
-        .withColumn("change", F.lit("+"))
-    removed = o.join(n, ["s", "p", "o"], "left_anti") \
-        .withColumn("change", F.lit("-"))
-    return added.unionByName(removed)
+    tagged = (
+        old.select(*TRIPLE_COLS).withColumn("__new", F.lit(False))
+        .unionByName(
+            new.select(*TRIPLE_COLS).withColumn("__new", F.lit(True)))
+    )
+    return (
+        tagged.groupBy(*TRIPLE_COLS)
+        .agg(
+            F.max(F.when(~F.col("__new"), 1).otherwise(0)).alias("__o"),
+            F.max(F.when(F.col("__new"), 1).otherwise(0)).alias("__n"),
+        )
+        .where(F.col("__o") != F.col("__n"))
+        .select(
+            *TRIPLE_COLS,
+            F.when(F.col("__n") == 1, F.lit("+"))
+            .otherwise(F.lit("-")).alias("change"),
+        )
+    )

@@ -74,6 +74,18 @@ def test_kb_diff_empty_on_identical(spark):
     assert kb_diff(kb, kb).count() == 0
 
 
+def test_kb_diff_single_exchange(spark):
+    """Plan audit: the diff pays ONE shuffle — a tagged union folded by
+    a single (s,p,o)-keyed aggregate with a map-side partial — not the
+    two anti-joins of the naive formulation (each of which would
+    re-shuffle both snapshots)."""
+    old = _kb(spark, [("a", "p", "1"), ("b", "p", "2")])
+    new = _kb(spark, [("a", "p", "1"), ("c", "p", "3")])
+    plan = kb_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_canonical_rewrite_broadcasts_the_map(spark):
     """The norm→canon map must reach the mention stream as a broadcast
     join — the edge-sized side is never shuffled by the rewrite."""
