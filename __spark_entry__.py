@@ -117,7 +117,11 @@ from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per
 from rdf_n3_spark.operators.triples import (
     canonical_triples,
     entity_triples,
+    kb_asof,
     kb_diff,
+    kb_history,
+    kb_timeline,
+    kg_negatives,
     mention_triples,
 )
 from rdf_n3_spark.sources.n3_sink import serialize_graphs
@@ -790,6 +794,44 @@ def _q_kb_diff(spark, sf_dir):
     return kb_diff(old, new)
 
 
+def _kb_snapshots(spark, sf_dir):
+    """Three sliding KB builds (turns 0–3 / 1–4 / 2–5): each shift both
+    adds and removes triples, exercising every interval shape."""
+    t = transcripts(spark, sf_dir)
+
+    def kb(lo, hi):
+        m = extract_mentions(t.where(F.col("turn_idx").between(lo, hi)))
+        return mention_triples(m).unionByName(entity_triples(m))
+
+    return [(0, kb(0, 3)), (1, kb(1, 4)), (2, kb(2, 5))]
+
+
+def _q_kb_history(spark, sf_dir):
+    """SCD2 validity intervals folded from the 3-epoch diff stream;
+    still-live rows surface the -1 sentinel so the oracle compare
+    stays integer-typed."""
+    hist = kb_history(kb_timeline(_kb_snapshots(spark, sf_dir)))
+    return hist.select(
+        "s", "p", "o", "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"))
+
+
+def _q_kb_asof(spark, sf_dir):
+    """Point-in-time reconstruction: the store as of epoch 1, read off
+    the interval table — the oracle rebuilds snapshot 1 directly, so
+    a pass proves history∘asof == the direct build."""
+    hist = kb_history(kb_timeline(_kb_snapshots(spark, sf_dir)))
+    return kb_asof(hist, 1)
+
+
+def _q_kg_negatives(spark, sf_dir):
+    """Deterministic corrupt-tail negatives over the :refersTo edges
+    (vocabulary = linked entities)."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+    refs = mention_triples(m).where(F.col("p") == ":refersTo")
+    return kg_negatives(refs, k=2, n_buckets=64)
+
+
 def _q_parse_n3_snippets(spark, sf_dir):
     """Real N3 parser (mapInPandas) over the inline snippets embedded in
     turn 0 of each conversation."""
@@ -1365,7 +1407,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (118 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (121 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1377,6 +1419,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "kb_history", "kb_asof", "kg_negatives",
     "conv_transitions",
     "event_moving_stats", "event_retention",
     "conv_stats", "conv_role_protocol",
@@ -1471,6 +1514,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_canon": _q_canon,
         "triples_canonical": _q_canonical_triples,
         "kb_diff": _q_kb_diff,
+        "kb_history": _q_kb_history,
+        "kb_asof": _q_kb_asof,
+        "kg_negatives": _q_kg_negatives,
         "entity_link_scores": _q_link_scores,
         "entity_link_best": _q_link_best,
         "n3_parse_udf": _q_parse_n3_snippets,
@@ -2294,6 +2340,82 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s, p, o, '-' AS change FROM
               (SELECT s, p, o FROM oldt EXCEPT SELECT s, p, o FROM newt)
+        """,
+        "kb_history": f"""
+            {_MENTIONS},
+            m0 AS (SELECT * FROM mentions WHERE turn_idx BETWEEN 0 AND 3),
+            m1 AS (SELECT * FROM mentions WHERE turn_idx BETWEEN 1 AND 4),
+            m2 AS (SELECT * FROM mentions WHERE turn_idx BETWEEN 2 AND 5),
+            t0 AS ({_triples_over('m0')}),
+            t1 AS ({_triples_over('m1')}),
+            t2 AS ({_triples_over('m2')}),
+            diffs AS (
+              SELECT 0 AS epoch, s, p, o, '+' AS change
+              FROM (SELECT DISTINCT s, p, o FROM t0)
+              UNION ALL SELECT 1, s, p, o, '+' FROM
+                (SELECT s, p, o FROM t1 EXCEPT SELECT s, p, o FROM t0)
+              UNION ALL SELECT 1, s, p, o, '-' FROM
+                (SELECT s, p, o FROM t0 EXCEPT SELECT s, p, o FROM t1)
+              UNION ALL SELECT 2, s, p, o, '+' FROM
+                (SELECT s, p, o FROM t2 EXCEPT SELECT s, p, o FROM t1)
+              UNION ALL SELECT 2, s, p, o, '-' FROM
+                (SELECT s, p, o FROM t1 EXCEPT SELECT s, p, o FROM t2)
+            ),
+            hist AS (
+              SELECT s, p, o, change, epoch,
+                     LEAD(epoch) OVER (PARTITION BY s, p, o
+                                       ORDER BY epoch) AS nxt
+              FROM diffs
+            )
+            SELECT s, p, o, epoch AS valid_from,
+                   COALESCE(nxt, -1) AS valid_to
+            FROM hist WHERE change = '+'
+        """,
+        "kb_asof": f"""
+            -- independent formulation: asof(1) over the folded history
+            -- must equal snapshot 1 built directly
+            {_MENTIONS},
+            m1 AS (SELECT * FROM mentions WHERE turn_idx BETWEEN 1 AND 4),
+            t1 AS ({_triples_over('m1')})
+            SELECT DISTINCT s, p, o FROM t1
+        """,
+        "kg_negatives": f"""
+            {_MENTIONS},
+            trips AS ({_triples_over('mentions')}),
+            pos AS (SELECT DISTINCT s, p, o FROM trips
+                    WHERE p = ':refersTo'),
+            vocab AS (SELECT DISTINCT o AS cand FROM pos),
+            vb AS (SELECT cand,
+                     ('0x' || substr(md5('neg-v1|vb|' || cand), 1, 8))::BIGINT
+                       % 64 AS b
+                   FROM vocab),
+            ranked AS (SELECT cand, b,
+                         ROW_NUMBER() OVER (PARTITION BY b ORDER BY cand) - 1
+                           AS r
+                       FROM vb),
+            sizes AS (SELECT b, COUNT(*) AS sz FROM vb GROUP BY b),
+            dsz AS (SELECT b, sz,
+                      ROW_NUMBER() OVER (ORDER BY b) - 1 AS db,
+                      COUNT(*) OVER () AS nb
+                    FROM sizes),
+            draws AS (SELECT s, p, o, neg_rank
+                      FROM pos CROSS JOIN
+                        (SELECT unnest(range(2)) AS neg_rank)),
+            d2 AS (SELECT s, p, o, neg_rank,
+                     ('0x' || substr(md5('neg-v1|db|' || s || '|' || p ||
+                        '|' || o || '|' || CAST(neg_rank AS VARCHAR)),
+                        1, 8))::BIGINT % (SELECT MAX(nb) FROM dsz) AS db
+                   FROM draws),
+            d3 AS (SELECT d2.s, d2.p, d2.o, d2.neg_rank, z.b,
+                     ('0x' || substr(md5('neg-v1|r|' || d2.s || '|' || d2.p ||
+                        '|' || d2.o || '|' || CAST(d2.neg_rank AS VARCHAR)),
+                        1, 8))::BIGINT % z.sz AS r
+                   FROM d2 JOIN dsz z USING (db))
+            SELECT d3.s, d3.p, rk.cand AS o_neg, d3.neg_rank
+            FROM d3 JOIN ranked rk ON rk.b = d3.b AND rk.r = d3.r
+            WHERE NOT EXISTS (SELECT 1 FROM pos
+                              WHERE pos.s = d3.s AND pos.p = d3.p
+                                AND pos.o = rk.cand)
         """,
         "media_metadata": """
             SELECT doc_id,
