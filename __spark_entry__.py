@@ -120,6 +120,7 @@ from rdf_n3_spark.operators.triples import (
     kb_asof,
     kb_diff,
     kb_history,
+    kb_history_snapshots,
     kb_timeline,
     kg_negatives,
     mention_triples,
@@ -816,6 +817,16 @@ def _q_kb_history(spark, sf_dir):
         F.coalesce("valid_to", F.lit(-1)).alias("valid_to"))
 
 
+def _q_kb_history_snapshots(spark, sf_dir):
+    """The ONE-exchange snapshot fold over the same 3 builds — must
+    produce byte-identical intervals to the diff-stream fold, so it
+    shares kb_history's oracle."""
+    hist = kb_history_snapshots(_kb_snapshots(spark, sf_dir))
+    return hist.select(
+        "s", "p", "o", "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"))
+
+
 def _q_kb_asof(spark, sf_dir):
     """Point-in-time reconstruction: the store as of epoch 1, read off
     the interval table — the oracle rebuilds snapshot 1 directly, so
@@ -1407,7 +1418,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (121 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (122 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1419,7 +1430,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "kb_history", "kb_asof", "kg_negatives",
+    "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
     "conv_transitions",
     "event_moving_stats", "event_retention",
     "conv_stats", "conv_role_protocol",
@@ -1515,6 +1526,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_canonical": _q_canonical_triples,
         "kb_diff": _q_kb_diff,
         "kb_history": _q_kb_history,
+        "kb_history_snapshots": _q_kb_history_snapshots,
         "kb_asof": _q_kb_asof,
         "kg_negatives": _q_kg_negatives,
         "entity_link_scores": _q_link_scores,
@@ -1850,7 +1862,7 @@ def _triangles_oracle(cap: int | None = None) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "transcripts_build": f"""
             WITH {_T}
             SELECT conv_id, turn_idx, role, text, tool,
@@ -2371,6 +2383,9 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(nxt, -1) AS valid_to
             FROM hist WHERE change = '+'
         """,
+        # kb_history_snapshots: same oracle as kb_history (the one-
+        # exchange fold must produce identical intervals) — aliased
+        # after the literal below
         "kb_asof": f"""
             -- independent formulation: asof(1) over the folded history
             -- must equal snapshot 1 built directly
@@ -3879,3 +3894,5 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             FROM base WHERE rn = 1
         """,
     }
+    d["kb_history_snapshots"] = d["kb_history"]
+    return d

@@ -219,6 +219,44 @@ def main() -> None:
     funnel = sink(funnel_reach(
         ev_tbl, ["view", "click", "signup", "purchase"]))
 
+    # temporal-KB family: fold three sliding KB builds over the
+    # REPLICATED corpus into validity intervals (diff + window), and
+    # the corrupt-tail negative draw over the :refersTo edges
+    from rdf_n3_spark.operators.triples import (
+        kb_history_snapshots,
+        kg_negatives,
+    )
+
+    # evidence rows over the UNREPLICATED corpus (mult-independent,
+    # like triangle_counts/pagerank): the operators' real input
+    # contract is MATERIALIZED stores (a nightly rebuild folds parquet
+    # snapshots; negatives draw from a committed triple table), so the
+    # snapshot builds are checkpointed once in setup — otherwise Spark
+    # recomputes each snapshot subtree per consumer (the negative draw
+    # scans its input four times) and the row times corpus
+    # re-tokenization, not the operator.  The fold itself is
+    # data-sized by nature (one (s,p,o) exchange over ALL snapshots),
+    # measured at mult=10 in BENCH/BASELINE.md.
+    t1 = mk_transcripts(spark, sf_dir, mult=1)
+
+    def _kb_slice(lo, hi):
+        mm = extract_mentions(t1.where(F.col("turn_idx").between(lo, hi)))
+        return (mention_triples(mm).unionByName(entity_triples(mm))
+                .localCheckpoint())
+
+    snaps = [(0, _kb_slice(0, 3)), (1, _kb_slice(1, 4)),
+             (2, _kb_slice(2, 5))]
+    # the one-exchange snapshot fold (kb_history_snapshots) IS the
+    # rebuild-pipeline scale path; the diff-stream pair is equality-
+    # pinned to it in tests and adds nothing bench-wise but shuffles
+    hist = sink(
+        kb_history_snapshots(snaps)
+        .select("s", "p", "o", "valid_from",
+                F.coalesce("valid_to", F.lit(-1)).alias("valid_to")))
+    refs = (mention_triples(m1).where(F.col("p") == ":refersTo")
+            .localCheckpoint())
+    negs = sink(kg_negatives(refs, k=2))
+
     rel = sink(relation_candidates(transcripts_df))
     cs = sink(characteristic_sets(
         mention_triples(m).unionByName(entity_triples(m))))
@@ -277,6 +315,8 @@ def main() -> None:
         "conv_stats": lambda: timed_runs(conv, runs, stat),
         "conv_transitions": lambda: timed_runs(trans, runs, stat),
         "event_funnel": lambda: timed_runs(funnel, runs, stat),
+        "kb_history": lambda: timed_runs(hist, runs, stat),
+        "kg_negatives": lambda: timed_runs(negs, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)

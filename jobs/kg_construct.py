@@ -26,7 +26,10 @@ fingerprint; :func:`run_bgp` closes the loop, feeding the written
 profile back into the BGP planner's join ordering iff the fingerprint
 still matches the store.  --export-nquads writes the committed store
 as flat line-per-statement N-Quads text (the zero-shuffle interchange
-export; overwrite-idempotent per batch).
+export; overwrite-idempotent per batch).  --diff-against publishes the
+statement-level delta vs. another build root (triples.kb_diff, one
+shuffle) under graph-root/delta/batch=<id> — what a nightly
+full-rebuild ships to consumers instead of the whole graph.
 
 Local smoke: python jobs/kg_construct.py --sf-dir /root/testdata/sf0.001
              --graph-root /tmp/kg --batch-id b0
@@ -69,6 +72,14 @@ def main(argv=None) -> int:
                     "graph-root/export/batch=<id> (the zero-shuffle "
                     "interchange format downstream consumers parse "
                     "without this engine)")
+    ap.add_argument("--diff-against", metavar="OTHER_GRAPH_ROOT",
+                    help="also publish the statement-level delta of THIS "
+                    "build's committed store vs. another build's (e.g. "
+                    "yesterday's full-rebuild root) under "
+                    "graph-root/delta/batch=<id> — the delta-sized "
+                    "artifact downstream caches consume instead of "
+                    "re-reading the full graph (triples.kb_diff; '+' = "
+                    "new here, '-' = gone from the other build)")
     ap.add_argument("--relations", action="store_true",
                     help="also mine pattern-based relation triples from the "
                     "transcripts in one in-array pass "
@@ -160,20 +171,13 @@ def main(argv=None) -> int:
     # --profile for a lineage-skipped batch therefore still works — it
     # backfills statistics for the already-committed graph.
     if args.profile:
-        from pyspark.sql import functions as F
-
         from rdf_n3_spark.operators.kb_stats import write_profile
         from rdf_n3_spark.operators.materialize import (
             committed_batches,
-            read_graph,
+            read_store,
         )
 
-        store = (
-            read_graph(spark, args.graph_root, "edges").select("s", "p", "o")
-            .unionByName(
-                read_graph(spark, args.graph_root, "node_props")
-                .select("s", "p", F.col("val").alias("o")))
-        )
+        store = read_store(spark, args.graph_root)
         metrics["profile"] = write_profile(
             spark, store, args.graph_root, args.batch_id,
             covers=committed_batches(spark, args.graph_root))
@@ -188,21 +192,41 @@ def main(argv=None) -> int:
     # is a pure function of the committed store, so a re-run (crashed
     # or repeated) converges to the same bytes instead of appending.
     if args.export_nquads:
-        from pyspark.sql import functions as F
-
-        from rdf_n3_spark.operators.materialize import read_graph
+        from rdf_n3_spark.operators.materialize import read_store
         from rdf_n3_spark.sources.n3_sink import serialize_nquads
 
-        store = (
-            read_graph(spark, args.graph_root, "edges").select("s", "p", "o")
-            .unionByName(
-                read_graph(spark, args.graph_root, "node_props")
-                .select("s", "p", F.col("val").alias("o")))
-        )
+        store = read_store(spark, args.graph_root)
         export_path = os.path.join(
             args.graph_root, "export", f"batch={args.batch_id}")
         serialize_nquads(store).write.mode("overwrite").text(export_path)
         metrics["export_nquads"] = export_path
+
+    # Stage 5 (optional): cross-build delta — the publish artifact of a
+    # nightly FULL-REBUILD pipeline: diff this build's committed store
+    # against another build root's (one shuffle, triples.kb_diff) and
+    # write the delta-sized result.  Pure function of two committed
+    # stores, so the per-batch dir is overwritten wholesale (re-runs
+    # converge, never append).
+    if args.diff_against:
+        from pyspark.sql import functions as F
+
+        from rdf_n3_spark.operators.materialize import read_store
+        from rdf_n3_spark.operators.triples import kb_diff
+
+        delta = kb_diff(read_store(spark, args.diff_against),
+                        read_store(spark, args.graph_root))
+        delta_path = os.path.join(
+            args.graph_root, "delta", f"batch={args.batch_id}")
+        delta.write.mode("overwrite").parquet(delta_path)
+        back = spark.read.parquet(delta_path)
+        counts = {r["change"]: r["n"] for r in
+                  back.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        metrics["delta"] = {
+            "path": delta_path,
+            "added": counts.get("+", 0),
+            "removed": counts.get("-", 0),
+        }
 
     print(json.dumps(metrics))
     return 0
@@ -217,17 +241,11 @@ def run_bgp(spark, graph_root: str, patterns):
     back to statistics-free ordering the moment the store outgrows the
     profile (a stale profile refines NOTHING rather than misordering).
     """
-    from pyspark.sql import functions as F
-
     from rdf_n3_spark.operators.kb_stats import load_profile
-    from rdf_n3_spark.operators.materialize import read_graph
+    from rdf_n3_spark.operators.materialize import read_store
     from rdf_n3_spark.plans.bgp import bgp
 
-    store = (
-        read_graph(spark, graph_root, "edges").select("s", "p", "o")
-        .unionByName(read_graph(spark, graph_root, "node_props")
-                     .select("s", "p", F.col("val").alias("o")))
-    )
+    store = read_store(spark, graph_root)
     counts, cs = load_profile(spark, graph_root)
     return bgp(store, patterns, predicate_counts=counts, star_cards=cs)
 

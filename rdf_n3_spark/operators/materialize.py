@@ -258,3 +258,19 @@ def read_graph(spark: SparkSession, root: str, table: str) -> DataFrame:
         return df.limit(0)
     good = lin.select("batch_id").distinct().withColumnRenamed("batch_id", "batch")
     return df.join(F.broadcast(good), "batch", "left_semi")
+
+
+def read_store(spark: SparkSession, root: str) -> DataFrame:
+    """The committed store as ONE (s, p, o) stream: edges ∪ node
+    properties, both read back through the lineage gate
+    (:func:`read_graph`).  The shape every store-wide consumer takes —
+    the --profile statistics, the N-Quads export, BGP answering, and
+    cross-build diffing (triples.kb_diff)."""
+    return (
+        read_graph(spark, root, "edges").select("s", "p", "o")
+        .unionByName(
+            read_graph(spark, root, "node_props")
+            .select("s", "p", F.col("val").alias("o")))
+    )
+
+

@@ -280,7 +280,10 @@ def kg_negatives(triples: DataFrame, k: int = 2, n_buckets: int = 64,
     Collision-dropped draws (the sampled object was a true object for
     that (s, p)) are NOT resampled: resampling needs iterative joins,
     and the loss rate is |true objects of (s,p)| / |vocab| — noise at
-    corpus scale."""
+    corpus scale.  ``triples`` is consumed by FOUR plan branches
+    (positives, vocabulary, draws, anti-join): feed a materialized
+    table (the committed store / a checkpoint), not an expensive live
+    subtree, or Spark recomputes it per branch."""
     pos = triples.select(*TRIPLE_COLS).distinct()
     vocab = (
         pos.select(F.col("o").alias("cand")).distinct()
@@ -315,4 +318,65 @@ def kg_negatives(triples: DataFrame, k: int = 2, n_buckets: int = 64,
         .select("s", "p", F.col("cand").alias("o_neg"), "neg_rank")
         .join(pos.select("s", "p", F.col("o").alias("o_neg")),
               ["s", "p", "o_neg"], "left_anti")
+    )
+
+
+def kb_history_snapshots(
+        snapshots: "list[tuple[int, DataFrame]]") -> DataFrame:
+    """(s, p, o, valid_from, valid_to) — :func:`kb_history` computed
+    directly from materialized snapshot tables in ONE exchange.
+    Provably equal to ``kb_history(kb_timeline(snapshots))`` (pinned by
+    a property test), but that composition pays one (s, p, o) shuffle
+    per consecutive diff PLUS the window's — this fold pays exactly
+    one: every snapshot's rows are tagged with their epoch and a
+    single (s, p, o)-keyed ``collect_set(epoch)`` (map-side partial,
+    per-key state ≤ #epochs) captures the full presence bitmap, from
+    which interval rows are derived with array expressions —
+    JVM-codegen'd, zero Python, no window, no join.
+
+    Use this for rebuild pipelines where the snapshots exist on disk;
+    use the :func:`kb_timeline` → :func:`kb_history` pair when only
+    diffs are stored (storage ∝ change volume).  Duplicate rows within
+    a snapshot are absorbed by the set-collect (repository set
+    semantics), so inputs need no pre-distinct."""
+    epochs = [e for e, _ in snapshots]
+    n = len(epochs)
+    eps_sql = "array(" + ", ".join(str(e) for e in epochs) + ")"
+    tagged = None
+    for e, df in snapshots:
+        part = df.select(*TRIPLE_COLS).withColumn("__e", F.lit(e))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    agg = tagged.groupBy(*TRIPLE_COLS).agg(
+        F.collect_set("__e").alias("__es"))
+    # 1-indexed positions; an interval opens at i when present[i] and
+    # not present[i-1]; it closes at the first absent position after i
+    # (__cls, precomputed per position; the i = n guard matters —
+    # sequence(n+1, n) is a DESCENDING sequence in Spark, not empty)
+    cls = f"""
+      transform(sequence(1, {n}), i ->
+        IF(i = {n}, CAST(NULL AS INT),
+           try_element_at(
+             filter(sequence(i + 1, {n}),
+                    j -> NOT element_at(__pres, j)), 1)))
+    """
+    iv = f"""
+      filter(
+        transform(sequence(1, {n}), i ->
+          IF(element_at(__pres, i)
+             AND (i = 1 OR NOT element_at(__pres, i - 1)),
+             named_struct(
+               'valid_from', element_at({eps_sql}, i),
+               'valid_to', IF(element_at(__cls, i) IS NULL,
+                              CAST(NULL AS INT),
+                              element_at({eps_sql}, element_at(__cls, i)))),
+             CAST(NULL AS STRUCT<valid_from: INT, valid_to: INT>))),
+        x -> x IS NOT NULL)
+    """
+    return (
+        agg.withColumn(
+            "__pres",
+            F.expr(f"transform({eps_sql}, e -> array_contains(__es, e))"))
+        .withColumn("__cls", F.expr(cls))
+        .select(*TRIPLE_COLS, F.explode(F.expr(iv)).alias("__iv"))
+        .select(*TRIPLE_COLS, "__iv.valid_from", "__iv.valid_to")
     )

@@ -184,3 +184,53 @@ def test_job_export_nquads(tmp_path, spark):
     got = {(compact(s), compact(p), compact(o)) for s, p, o, _ in parsed}
     want = {(r["s"], r["p"], r["o"]) for r in store.collect()}
     assert got == want
+
+
+def test_job_diff_against_stage(tmp_path, spark):
+    """--diff-against publishes the cross-build delta: build root A
+    from a truncated transcript slice and root B from the full table,
+    then B --diff-against A must ship '+' rows (B's new statements,
+    incl. changed :mentionCount values) and '-' rows (A's superseded
+    counts), each verifiable against the two committed stores."""
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from rdf_n3_spark.operators.materialize import read_store
+    from rdf_n3_spark.sources.transcripts import transcripts
+
+    t = transcripts(spark, "/root/testdata/sf0.001")
+    full_tbl = tmp_path / "t_full"
+    part_tbl = tmp_path / "t_part"
+    t.write.parquet(str(full_tbl))
+    t.where(F.col("turn_idx") <= 3).write.parquet(str(part_tbl))
+
+    root_a, root_b = tmp_path / "gA", tmp_path / "gB"
+    for root, tbl, extra in [
+        (root_a, part_tbl, []),
+        (root_b, full_tbl, ["--diff-against", str(root_a)]),
+    ]:
+        out = subprocess.run(
+            [sys.executable, "jobs/kg_construct.py",
+             "--transcripts", str(tbl),
+             "--graph-root", str(root),
+             "--batch-id", "b0",
+             "--repartition", "8", *extra],
+            capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["delta"]["added"] > 0     # triples only the full build has
+    assert m["delta"]["removed"] > 0   # stale :mentionCount literals
+    delta = spark.read.parquet(m["delta"]["path"])
+    assert delta.count() == m["delta"]["added"] + m["delta"]["removed"]
+    # the delta is exactly the set difference of the committed stores
+    a = read_store(spark, str(root_a))
+    b = read_store(spark, str(root_b))
+    got_added = {(r["s"], r["p"], r["o"]) for r in
+                 delta.where(F.col("change") == "+").collect()}
+    assert got_added == {tuple(r) for r in
+                         b.distinct().subtract(a.distinct()).collect()}
+    got_removed = {(r["s"], r["p"], r["o"]) for r in
+                   delta.where(F.col("change") == "-").collect()}
+    assert got_removed == {tuple(r) for r in
+                           a.distinct().subtract(b.distinct()).collect()}

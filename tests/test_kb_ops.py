@@ -176,3 +176,47 @@ def test_kg_negatives_draws_from_vocab_only(spark):
     vocab = {r["o"] for r in t.select("o").distinct().collect()}
     negs = kg_negatives(t, k=3).collect()
     assert {r["o_neg"] for r in negs} <= vocab
+
+
+from rdf_n3_spark.operators.triples import kb_history_snapshots  # noqa: E402
+
+
+def test_kb_history_snapshots_equals_diff_fold(spark):
+    """Property: the one-exchange snapshot fold computes EXACTLY
+    kb_history(kb_timeline(...)) — random presence bitmaps over 4
+    epochs cover open/closed/reopened/transient interval shapes."""
+    import random
+
+    rng = random.Random(7)
+    epochs = [0, 1, 2, 3]
+    rows = {e: [] for e in epochs}
+    for t in range(60):
+        # random non-empty presence set; dup rows in random snapshots
+        # exercise the no-pre-distinct contract
+        pres = [e for e in epochs if rng.random() < 0.5] or [rng.choice(epochs)]
+        for e in pres:
+            rows[e].append((f"s{t}", "p", "1"))
+            if rng.random() < 0.2:
+                rows[e].append((f"s{t}", "p", "1"))
+    snaps = [(e, _kb(spark, rows[e])) for e in epochs if rows[e]]
+    a = {tuple(r) for r in kb_history_snapshots(snaps).collect()}
+    b = {tuple(r) for r in kb_history(kb_timeline(snaps)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_kb_history_snapshots_single_exchange(spark):
+    """Plan audit: the snapshot fold pays ONE shuffle for any number
+    of snapshots — no joins, no window sort beyond the aggregate."""
+    snaps = _snaps(spark)
+    plan = (kb_history_snapshots(snaps)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_kb_asof_on_snapshot_fold(spark):
+    snaps = _snaps(spark)
+    hist = kb_history_snapshots(snaps)
+    for epoch, snap in snaps:
+        got = {tuple(r) for r in kb_asof(hist, epoch).collect()}
+        assert got == {tuple(r) for r in snap.distinct().collect()}
