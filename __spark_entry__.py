@@ -114,6 +114,7 @@ from rdf_n3_spark.operators.similarity import (
 from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
+from rdf_n3_spark.operators.enrich import enrich_entities
 from rdf_n3_spark.operators.triples import (
     canonical_triples,
     entity_triples,
@@ -807,6 +808,19 @@ def _kb_snapshots(spark, sf_dir):
     return [(0, kb(0, 3)), (1, kb(1, 4)), (2, kb(2, 5))]
 
 
+def _q_entity_enrich(spark, sf_dir):
+    """Registry enrichment: the KG's entity vocabulary joined to the
+    supplier/part authority tables (nation → region star roll-up),
+    emitted as triples — every registry join broadcast."""
+    m = extract_mentions(transcripts(spark, sf_dir))
+
+    def rd(t):
+        return spark.read.parquet(f"{sf_dir}/{t}.parquet")
+
+    return enrich_entities(m, rd("supplier"), rd("part"),
+                           rd("nation"), rd("region"))
+
+
 def _q_kb_history(spark, sf_dir):
     """SCD2 validity intervals folded from the 3-epoch diff stream;
     still-live rows surface the -1 sentinel so the oracle compare
@@ -1418,7 +1432,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (122 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (123 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1430,6 +1444,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "entity_enrich",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
     "conv_transitions",
     "event_moving_stats", "event_retention",
@@ -1525,6 +1540,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_canon": _q_canon,
         "triples_canonical": _q_canonical_triples,
         "kb_diff": _q_kb_diff,
+        "entity_enrich": _q_entity_enrich,
         "kb_history": _q_kb_history,
         "kb_history_snapshots": _q_kb_history_snapshots,
         "kb_asof": _q_kb_asof,
@@ -2352,6 +2368,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s, p, o, '-' AS change FROM
               (SELECT s, p, o FROM oldt EXCEPT SELECT s, p, o FROM newt)
+        """,
+        "entity_enrich": f"""
+            {_MENTIONS},
+            vocab AS (SELECT DISTINCT norm FROM mentions),
+            keyed AS (SELECT norm, substr(norm, 1, 4) AS kind,
+                        TRY_CAST(split_part(norm, '_', 2) AS INT) AS k
+                      FROM vocab),
+            se AS (SELECT norm, s_name, s_acctbal, n_name, r_name
+                   FROM keyed
+                   JOIN supplier ON kind = 'supp' AND k = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey),
+            pe AS (SELECT norm, p_name, p_brand, p_retailprice
+                   FROM keyed
+                   JOIN part ON kind = 'part' AND k = p_partkey)
+            SELECT 'ent:' || norm AS s, ':registryName' AS p, s_name AS o
+            FROM se
+            UNION ALL SELECT 'ent:' || norm, ':inNation',
+                             'nation:' || n_name FROM se
+            UNION ALL SELECT 'ent:' || norm, ':inRegion',
+                             'region:' || r_name FROM se
+            UNION ALL SELECT 'ent:' || norm, ':acctBalCents',
+                 CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+            FROM se
+            UNION ALL SELECT 'ent:' || norm, ':registryName', p_name FROM pe
+            UNION ALL SELECT 'ent:' || norm, ':brand', p_brand FROM pe
+            UNION ALL SELECT 'ent:' || norm, ':retailPriceCents',
+                 CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS VARCHAR)
+            FROM pe
         """,
         "kb_history": f"""
             {_MENTIONS},
