@@ -63,6 +63,7 @@ from rdf_n3_spark.operators.events import (
     event_rollup,
     funnel_counts,
     funnel_reach,
+    segment_funnel,
     moving_daily_stats,
     retention_cohorts,
     histogram_quantiles,
@@ -1432,7 +1433,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (123 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (124 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1444,7 +1445,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "entity_enrich",
+    "entity_enrich", "segment_funnel",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
     "conv_transitions",
     "event_moving_stats", "event_retention",
@@ -1651,6 +1652,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
         "event_funnel_counts": lambda s, d: funnel_counts(
             s.read.parquet(f"{d}/events.parquet"), _FUNNEL_STEPS),
+        # the same funnel broken down by the customer dim's market
+        # segment (broadcast onto the user-sized reach table)
+        "segment_funnel": lambda s, d: segment_funnel(
+            s.read.parquet(f"{d}/events.parquet"),
+            s.read.parquet(f"{d}/customer.parquet"), _FUNNEL_STEPS),
         # signup-anchored daily retention triangle
         "event_retention": lambda s, d: retention_cohorts(
             s.read.parquet(f"{d}/events.parquet")),
@@ -3432,6 +3438,50 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # mirrors events.event_quantiles: exact nearest-rank(lower)
         # element selection — bit-portable, unlike sketch/interpolated
         # percentiles
+        "segment_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+            ),
+            s0 AS (SELECT user_id, min(ts) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'signup' AND e.ts >= s1.t GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id),
+            reach AS (
+              SELECT u.user_id,
+                     (CASE WHEN s0.user_id IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS reached
+              FROM (SELECT DISTINCT user_id FROM e) u
+              LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+              LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            ),
+            seg AS (SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS mktsegment,
+                           reached
+                    FROM reach LEFT JOIN customer ON user_id = c_custkey)
+            SELECT mktsegment, CAST(step_idx AS INT) AS step_idx, step,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (
+              SELECT mktsegment, 0 AS step_idx, 'view' AS step,
+                     sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS n_users
+              FROM seg GROUP BY mktsegment
+              UNION ALL SELECT mktsegment, 1, 'click',
+                     sum(CASE WHEN reached >= 2 THEN 1 ELSE 0 END)
+              FROM seg GROUP BY mktsegment
+              UNION ALL SELECT mktsegment, 2, 'signup',
+                     sum(CASE WHEN reached >= 3 THEN 1 ELSE 0 END)
+              FROM seg GROUP BY mktsegment
+              UNION ALL SELECT mktsegment, 3, 'purchase',
+                     sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END)
+              FROM seg GROUP BY mktsegment
+            )
+        """,
         "event_quantiles": """
             WITH r AS (
               SELECT event_type,

@@ -432,3 +432,37 @@ def moving_daily_stats(events: DataFrame, days: int = 7) -> DataFrame:
                f"BETWEEN {(days - 1) * 86400} PRECEDING AND CURRENT ROW) "
                f"AS BIGINT)").alias("trail_avg_cents"),
     )
+
+
+def segment_funnel(events: DataFrame, customer: DataFrame,
+                   steps: list[str]) -> DataFrame:
+    """(mktsegment, step_idx, step, n_users) — the funnel report
+    (:func:`funnel_counts` semantics) broken down by the customer
+    dimension's market segment: which segments convert and where each
+    drops off.  Users without a registry row are reported under
+    segment ``'UNKNOWN'`` rather than dropped (left join — the event
+    stream is the ground truth, the dim adds attributes).
+
+    Scale shape: the per-user reach is the existing ONE-shuffle sorted
+    -array fold; the customer dim joins BROADCAST onto the user-sized
+    reach table (never onto the event stream); the report is a tiny
+    segments × steps aggregate of conditional sums."""
+    r = funnel_reach(events, steps)
+    seg = r.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("user_id"),
+                                    "c_mktsegment")),
+        "user_id", "left",
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
+        "reached",
+    )
+    per = seg.groupBy("mktsegment").agg(*[
+        F.sum(F.when(F.col("reached") >= i + 1, 1).otherwise(0))
+        .cast("bigint").alias(f"s{i}")
+        for i in range(len(steps))
+    ])
+    stack = ", ".join(
+        f"CAST({i} AS INT), '{s}', s{i}" for i, s in enumerate(steps))
+    return per.selectExpr(
+        "mktsegment",
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)")

@@ -401,3 +401,34 @@ def test_moving_daily_stats_window_runs_after_rollup(spark):
     plan = moving_daily_stats(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_segment_funnel_attribution_and_unknown(spark):
+    """Per-segment funnel: registry users report under their segment,
+    unregistered users under UNKNOWN; counts follow funnel_reach."""
+    from rdf_n3_spark.operators.events import segment_funnel
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view"),
+         (1, "2024-01-01 00:01:00", "click"),
+         (2, "2024-01-01 00:00:00", "view"),
+         (9, "2024-01-01 00:00:00", "view"),      # not in dim
+         (9, "2024-01-01 00:01:00", "click"),
+         (9, "2024-01-01 00:02:00", "signup")],
+        "user_id int, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")],
+        "c_custkey int, c_mktsegment string")
+    out = segment_funnel(ev, cust, ["view", "click", "signup"])
+    got = {(r["mktsegment"], r["step"], r["n_users"]) for r in out.collect()}
+    assert got == {
+        ("BUILDING", "view", 1), ("BUILDING", "click", 1),
+        ("BUILDING", "signup", 0),
+        ("MACHINERY", "view", 1), ("MACHINERY", "click", 0),
+        ("MACHINERY", "signup", 0),
+        ("UNKNOWN", "view", 1), ("UNKNOWN", "click", 1),
+        ("UNKNOWN", "signup", 1),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
