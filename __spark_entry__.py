@@ -115,7 +115,7 @@ from rdf_n3_spark.operators.similarity import (
 from rdf_n3_spark.operators.linker import link_mentions, score_candidate_links
 from rdf_n3_spark.operators.salted import salted_collect_set, salted_count
 from rdf_n3_spark.plans.bgp import Rule, apply_rule, bgp, fixpoint, fixpoint_per_graph
-from rdf_n3_spark.operators.enrich import enrich_entities
+from rdf_n3_spark.operators.enrich import enrich_entities, segment_order_stats
 from rdf_n3_spark.operators.triples import (
     canonical_triples,
     entity_triples,
@@ -1433,7 +1433,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (124 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (125 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1445,7 +1445,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "entity_enrich", "segment_funnel",
+    "entity_enrich", "segment_funnel", "segment_order_stats",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
     "conv_transitions",
     "event_moving_stats", "event_retention",
@@ -1657,6 +1657,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_funnel": lambda s, d: segment_funnel(
             s.read.parquet(f"{d}/events.parquet"),
             s.read.parquet(f"{d}/customer.parquet"), _FUNNEL_STEPS),
+        # revenue attribution: orders fact x broadcast customer dim,
+        # exact-cents totals per segment x status
+        "segment_order_stats": lambda s, d: segment_order_stats(
+            s.read.parquet(f"{d}/orders.parquet"),
+            s.read.parquet(f"{d}/customer.parquet")),
         # signup-anchored daily retention triangle
         "event_retention": lambda s, d: retention_cohorts(
             s.read.parquet(f"{d}/events.parquet")),
@@ -3438,6 +3443,15 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # mirrors events.event_quantiles: exact nearest-rank(lower)
         # element selection — bit-portable, unlike sketch/interpolated
         # percentiles
+        "segment_order_stats": """
+            SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS mktsegment,
+                   o_orderstatus AS orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        """,
         "segment_funnel": """
             WITH e AS (
               SELECT user_id, ts, event_type FROM events
