@@ -22,6 +22,7 @@ from rdf_n3_spark.functions.text import (
     keyword_topk,
     lang_id,
     lm_score,
+    search_bm25,
     search_topk,
     quality_score,
     redact,
@@ -59,6 +60,7 @@ from rdf_n3_spark.operators.clustering import (
     semdedup_prune,
 )
 from rdf_n3_spark.operators.events import (
+    event_outliers,
     event_quantiles,
     event_rollup,
     funnel_counts,
@@ -153,6 +155,40 @@ def _q_search(spark, sf_dir):
         ).alias("qtext"),
     )
     return search_topk(docs, queries, k=10)
+
+
+def _q_search_queries(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower("text"), " "), 1, 3)
+        ).alias("qtext"),
+    )
+
+
+def _q_search_bm25(spark, sf_dir):
+    """BM25 retrieval over the same corpus-derived query set as
+    ``search_topk`` — integer-exact fixed-point BM25 (functions/text.py
+    :func:`search_bm25`), length-normalized where plain tf-idf is not."""
+    docs = _docs(spark, sf_dir)
+    return search_bm25(docs, _q_search_queries(spark, sf_dir), k=10)
+
+
+def _q_graph_khop(spark, sf_dir):
+    """2-hop BFS neighborhoods of two seed entities (the synthetic hub
+    and a mid-degree supplier) over the co-mention graph — the seed-set
+    context-harvest shape for KG curation."""
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        khop_neighbors,
+    )
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    edges = cooccurrence_edges(m, group="conv_id", node="norm")
+    seeds = spark.createDataFrame(
+        [("part_hub",), ("supp_1",)], "seed string")
+    return khop_neighbors(edges, seeds, k=2)
 
 
 def _q_redact(spark, sf_dir):
@@ -1433,7 +1469,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (125 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (128 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1445,6 +1481,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "search_bm25", "graph_khop", "event_outliers",
     "entity_enrich", "segment_funnel", "segment_order_stats",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
     "conv_transitions",
@@ -1582,6 +1619,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": lambda s, d: chunk_dedup(_docs(s, d)),
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
         "search_topk": _q_search,
+        "search_bm25": _q_search_bm25,
+        "graph_khop": _q_graph_khop,
         "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
         "kmv_merged": _q_kmv_merged,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -1636,6 +1675,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": lambda s, d: sessionize_batch(
             s.read.parquet(f"{d}/events.parquet"), gap_minutes=30),
         "event_quantiles": lambda s, d: event_quantiles(
+            s.read.parquet(f"{d}/events.parquet")),
+        # exact Tukey-fence outlier screen (3×IQR on nearest-rank
+        # quartiles, broadcast fences)
+        "event_outliers": lambda s, d: event_outliers(
             s.read.parquet(f"{d}/events.parquet")),
         # width 600 cents × 64 bins covers the synthetic value domain
         # (≤ 327.53) without clamping the upper percentiles
@@ -3129,6 +3172,28 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
             GROUP BY a.n, b.n
         """,
+        # mirrors graph_algo.khop_neighbors (k=2) over the same
+        # co-mention edge set: unrolled BFS levels, min-hop grouping
+        # (the operator's level-order anti-join realizes the same min)
+        "graph_khop": f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            e AS (SELECT a.n AS u, b.n AS v
+                  FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                  GROUP BY a.n, b.n),
+            sym AS (SELECT u AS src, v AS dst FROM e
+                    UNION ALL SELECT v AS src, u AS dst FROM e),
+            seeds(seed) AS (VALUES ('part_hub'), ('supp_1')),
+            d0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+            d1 AS (SELECT DISTINCT seed, dst AS node, 1 AS dist
+                   FROM d0 JOIN sym ON d0.node = sym.src),
+            d2 AS (SELECT DISTINCT d1.seed, dst AS node, 2 AS dist
+                   FROM d1 JOIN sym ON d1.node = sym.src),
+            alln AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+                     UNION ALL SELECT * FROM d2)
+            SELECT seed, node, CAST(min(dist) AS INT) AS dist
+            FROM alln GROUP BY seed, node
+        """,
         # mirrors curation.paragraph_dedup over the same self-union
         # (docs < 50 duplicated at +10000 ids): corpus-first occurrence
         # of each paragraph hash survives, every other copy is_dup=1
@@ -3509,6 +3574,43 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
             SELECT event_type, CAST(p AS INT) AS p, cents AS cents_at_p
             FROM r, (VALUES (50), (95), (99)) probs(p)
             WHERE rn = ((n - 1) * p) // 100 + 1
+        """,
+        # mirrors events.event_outliers: exact nearest-rank quartiles →
+        # integer 3×IQR Tukey fences → broadcast-join flag pass; nulls
+        # excluded per the histogram operators' degradation contract
+        "event_outliers": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE CAST(round(value * 100) AS BIGINT) IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM b
+            ),
+            f AS (
+              SELECT event_type,
+                     max(CASE WHEN rn = ((n - 1) * 25) // 100 + 1
+                         THEN cents END) AS q_lo,
+                     max(CASE WHEN rn = ((n - 1) * 75) // 100 + 1
+                         THEN cents END) AS q_hi
+              FROM r GROUP BY event_type
+            ),
+            g AS (
+              SELECT event_type,
+                     q_lo - 3 * (q_hi - q_lo) AS f_lo,
+                     q_hi + 3 * (q_hi - q_lo) AS f_hi
+              FROM f
+            )
+            SELECT b.event_id, b.event_type, b.cents,
+                   CASE WHEN b.cents > g.f_hi THEN 'hi'
+                        ELSE 'lo' END AS side
+            FROM b JOIN g USING (event_type)
+            WHERE b.cents > g.f_hi OR b.cents < g.f_lo
         """,
         # mirrors events.event_rollup (hourly buckets, exact cents)
         "event_rollup": """
@@ -3924,6 +4026,59 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
               SELECT query_id, tf.doc_id,
                      CAST(sum(tf.tf * idf.idf_int) AS BIGINT) AS score
               FROM qtok JOIN tf USING (token) JOIN idf USING (token)
+              GROUP BY query_id, tf.doc_id
+            ),
+            r AS (
+              SELECT query_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank,
+                     doc_id, score
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM r WHERE rank <= 10
+        """,
+        # mirrors functions.text.search_bm25: fixed-point BM25
+        # (k1 = 1.2, b = 0.75 as milli-ints, every // positive-operand
+        # floor division so Spark DIV and DuckDB // agree bit-for-bit)
+        "search_bm25": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            a AS (SELECT ((SELECT sum(dl) FROM dl) * 1000) // n_docs
+                    AS avgdl_milli
+                  FROM n),
+            idf AS (SELECT token, (n_docs * 1000) // df AS idf_int
+                    FROM df, n),
+            q AS (
+              SELECT doc_id AS query_id,
+                     array_to_string(
+                       list_slice(string_split(lower(text), ' '), 1, 3),
+                       ' ') AS qtext
+              FROM documents WHERE doc_id < 20
+            ),
+            qtok AS (
+              SELECT DISTINCT query_id,
+                     unnest(string_split(lower(qtext), ' ')) AS token
+              FROM q
+            ),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     CAST(sum(idf.idf_int * (
+                       (tf.tf * 2200 * 1000000) //
+                       (tf.tf * 1000000 +
+                        (1200 * (250000 +
+                          (750 * ((dl.dl * 1000000000) // a.avgdl_milli))
+                          // 1000)) // 1000)
+                     )) AS BIGINT) AS score
+              FROM qtok JOIN tf USING (token) JOIN idf USING (token)
+                   JOIN dl ON tf.doc_id = dl.doc_id, a
               GROUP BY query_id, tf.doc_id
             ),
             r AS (

@@ -262,6 +262,81 @@ def search_topk(documents: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def search_bm25(documents: DataFrame, queries: DataFrame, k: int = 10,
+                k1_milli: int = 1200, b_milli: int = 750,
+                idf_scale: int = 1000) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 top-``k`` retrieval beside
+    the plain tf-idf :func:`search_topk`, computed entirely in exact
+    bigints so the ranking is bit-identical across engines and
+    partitionings (the float formulation's ln-idf and sum order are
+    where cross-engine nondeterminism lives).
+
+    Fixed-point formulation (k1 = ``k1_milli``/1000, b = ``b_milli``/1000,
+    every ``DIV`` a positive-operand floor division that Spark ``DIV``
+    and DuckDB ``//`` evaluate identically):
+
+    * ``A = (Σ dl · 1000) DIV N``                 (avg doc length, milli)
+    * ``norm6 = (1000−bs)·1000 + bs·((dl·10⁹) DIV A) DIV 1000``
+      — BM25's ``1 − b + b·dl/avgdl``, scaled 10⁶
+    * ``den6 = tf·10⁶ + (k1s·norm6) DIV 1000``    (``tf + k1·norm``, 10⁶)
+    * ``term = (tf·(k1s+1000)·10⁶) DIV den6``     (``tf·(k1+1)/den``, milli)
+    * ``score = Σ_t idf_int(t) · term(t, d)``, idf_int = (N·scale) DIV df
+      — the same rational-idf family as :func:`search_topk` (monotone in
+      1/df; the ln() shape only rescales, it never reorders one term).
+
+    Scale shape (identical to :func:`search_topk`): tf/df/dl are
+    map-side-combinable groupBys over ONE token explode; N and avgdl are
+    two 1-row aggregates broadcast into the per-row arithmetic; the
+    query-token table is tiny → Catalyst broadcasts it into the
+    posting-list join; the score is a partial-aggregated bigint sum and
+    the top-k window is bounded by the query's posting lists.  Stopword
+    posting lists are the skew risk — AQE skew-join splits them, and
+    their idf_int rounds toward 0 so pruning them barely moves the
+    ranking."""
+    k1s, bs = int(k1_milli), int(b_milli)
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    avg = dl.agg(F.sum("dl").alias("tot")).join(F.broadcast(n_docs)).select(
+        F.expr("CAST(tot * 1000 AS BIGINT) DIV n_docs").alias("avgdl_milli")
+    )
+    idf = df.join(F.broadcast(n_docs)).select(
+        "token",
+        F.expr(f"CAST(n_docs * {idf_scale} AS BIGINT) DIV df").alias("idf_int"),
+    )
+    qtok = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens(F.col("qtext")))).alias("token"),
+    )
+    scored = (
+        qtok.join(tf, "token")
+        .join(idf, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(avg))
+        .withColumn("norm6", F.expr(
+            f"CAST(({1000 - bs} * 1000) AS BIGINT)"
+            f" + ({bs} * ((dl * 1000000000) DIV avgdl_milli)) DIV 1000"))
+        .withColumn("den6", F.expr(
+            f"tf * 1000000 + ({k1s} * norm6) DIV 1000"))
+        .withColumn("term", F.expr(
+            f"(tf * {k1s + 1000} * 1000000) DIV den6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf_int") * F.col("term")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", F.row_number().over(w).alias("rank"),
+                      "doc_id", "score")
+        .where(F.col("rank") <= k)
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles

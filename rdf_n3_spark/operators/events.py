@@ -466,3 +466,53 @@ def segment_funnel(events: DataFrame, customer: DataFrame,
     return per.selectExpr(
         "mktsegment",
         f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)")
+
+
+def event_outliers(events: DataFrame, lo: int = 25, hi: int = 75,
+                   iqr_mult: int = 3) -> DataFrame:
+    """(event_id, event_type, cents, side) — exact Tukey-fence outlier
+    screen per event type: flag events whose cents-quantized value lies
+    outside ``[q_lo − m·IQR, q_hi + m·IQR]``, with q_lo/q_hi the EXACT
+    nearest-rank percentiles (same ``(n−1)·p div 100 + 1`` element pick
+    as :func:`event_quantiles`) and ``m = iqr_mult`` an integer so the
+    fences — and therefore the flag set — are bit-identical across
+    engines and partitionings (the classic mean±k·σ screen is float-
+    order-nondeterministic; a selected-element fence is not).
+    Null/uncastable values are excluded, mirroring the histogram
+    operators' degradation contract.  ``side`` = 'hi' | 'lo'.
+
+    Scale shape: the fence table is event_type-sized (broadcast into
+    the flagging pass, which is a narrow scan); the quantile pick costs
+    one per-type sorted window — the exact-answer floor shared with
+    :func:`event_quantiles`.  At 100 TB, feed sketch-grade fences from
+    :func:`histogram_quantiles` into the same broadcast-join instead;
+    the flagging pass is unchanged."""
+    cents = F.round(F.col("value") * 100).try_cast("bigint")
+    base = events.select(
+        "event_id", "event_type", cents.alias("cents")
+    ).where(F.col("cents").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.select(
+        "event_type", "cents",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("__n"),
+    )
+    fences = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("__rn") == F.expr(f"((__n - 1) * {int(lo)}) div 100 + 1"),
+                     F.col("cents"))).alias("q_lo"),
+        F.max(F.when(F.col("__rn") == F.expr(f"((__n - 1) * {int(hi)}) div 100 + 1"),
+                     F.col("cents"))).alias("q_hi"),
+    ).select(
+        "event_type",
+        (F.col("q_lo") - iqr_mult * (F.col("q_hi") - F.col("q_lo"))).alias("f_lo"),
+        (F.col("q_hi") + iqr_mult * (F.col("q_hi") - F.col("q_lo"))).alias("f_hi"),
+    )
+    return (
+        base.join(F.broadcast(fences), "event_type")
+        .where((F.col("cents") > F.col("f_hi")) | (F.col("cents") < F.col("f_lo")))
+        .select(
+            "event_id", "event_type", "cents",
+            F.when(F.col("cents") > F.col("f_hi"), F.lit("hi"))
+             .otherwise(F.lit("lo")).alias("side"),
+        )
+    )

@@ -251,3 +251,51 @@ def kcore_fixed(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         all_nodes.join(survivors.withColumn("s", F.lit(1)), "node", "left")
         .select("node", F.coalesce("s", F.lit(0)).cast("int").alias("in_core"))
     )
+
+
+def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """(seed, node, dist) — BFS min-hop distance from each seed over an
+    undirected (u, v) edge set, bounded at ``k`` hops: the neighborhood
+    expansion a KG-curation pass runs around entities of interest
+    (context harvesting for a seed entity set, blast-radius checks
+    before an entity merge).  ``seeds`` is a 1-column ``seed`` frame;
+    the seed itself is emitted at dist 0.  BFS level order IS the
+    min-hop distance, so no per-node min() re-aggregation is needed:
+    a node joins ``known`` exactly once, at its first (= shortest)
+    level — the anti-join below enforces it.
+
+    Scale shape: the symmetric edge list is exchanged ONCE (src-keyed
+    repartition + localCheckpoint) and every hop's frontier⋈edges
+    equi-join reuses that layout; frontiers are `distinct`ed per hop so
+    a dense level never re-expands duplicate work, and the growing
+    ``known`` set participates only as the anti-join pruning side.
+    Hub fan-out makes frontier sizes node-bounded, not edge-bounded.
+    Per-hop ``localCheckpoint`` cuts the iterative lineage like every
+    other fixpoint operator here."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .withColumnRenamed("u", "src")
+        .withColumnRenamed("v", "dst")
+        .repartition("src")
+        .localCheckpoint()
+    )
+    known = seeds.select(
+        F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = known
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.select("seed", F.col("node").alias("src"))
+            .join(sym, "src")
+            .select("seed", F.col("dst").alias("node"),
+                    F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = nxt.join(
+            known.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).localCheckpoint()
+        known = known.unionByName(new)
+        frontier = new
+    return known.select("seed", "node", F.col("dist").cast("int").alias("dist"))

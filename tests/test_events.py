@@ -432,3 +432,52 @@ def test_segment_funnel_attribution_and_unknown(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+# --------------------------------------------------------- event_outliers
+
+
+def _outlier_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double")
+
+
+def test_event_outliers_exact_fences(spark):
+    """11 rows total (outliers participate in the ranks): sorted cents
+    −5000, 100..900, 4000 → q25 = rank (10·25)//100+1 = 3 → 200, q75 =
+    rank 8 → 700, IQR 500 → fences [−1300, 2200].  Exactly the 40.00
+    and −50.00 rows are flagged."""
+    from rdf_n3_spark.operators.events import event_outliers
+
+    rows = [(i, "a", float(i)) for i in range(1, 10)]
+    rows += [(100, "a", 40.0), (101, "a", -50.0)]
+    got = {(r["event_id"], r["side"]): r["cents"]
+           for r in event_outliers(_outlier_events(spark, rows)).collect()}
+    assert got == {(100, "hi"): 4000, (101, "lo"): -5000}
+
+
+def test_event_outliers_nulls_excluded_and_types_isolated(spark):
+    """A null value must neither be flagged nor shift the fences, and
+    one type's spread must not leak into another's fences."""
+    from rdf_n3_spark.operators.events import event_outliers
+
+    rows = [(i, "a", float(i)) for i in range(1, 10)]
+    rows += [(100, "a", 20.0), (50, "a", None)]
+    # type b: huge spread → 20.0 would be inside ITS fences
+    rows += [(200, "b", -1000.0), (201, "b", 1000.0), (202, "b", 0.0),
+             (203, "b", 500.0), (204, "b", -500.0)]
+    out = event_outliers(_outlier_events(spark, rows)).collect()
+    ids = {r["event_id"] for r in out}
+    assert ids == {100}
+
+
+def test_event_outliers_flag_pass_is_broadcast(spark):
+    """The fence table is event_type-sized: the flagging join must be a
+    broadcast hash join, never a sort-merge exchange of the events."""
+    from rdf_n3_spark.operators.events import event_outliers
+
+    rows = [(i, "a", float(i % 7)) for i in range(50)]
+    plan = (event_outliers(_outlier_events(spark, rows))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

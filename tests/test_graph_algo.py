@@ -248,3 +248,55 @@ def test_kcore_rounds_bound_the_cascade(spark):
     assert r1["p5"] == 0 and r1["p3"] == 1   # only the leaf end stripped
     assert all(r7[f"p{i}"] == 0 for i in range(6))  # full cascade (6 hops)
     assert all(r7[n] == 1 for n in "xyzw")   # the cycle is the 2-core
+
+
+# ------------------------------------------------------- khop_neighbors
+
+
+def _khop(spark, edges, seeds, k=2):
+    from rdf_n3_spark.operators.graph_algo import khop_neighbors
+
+    e = spark.createDataFrame(edges, ["u", "v"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["seed"])
+    return {
+        (r["seed"], r["node"]): r["dist"]
+        for r in khop_neighbors(e, s, k=k).collect()
+    }
+
+
+def test_khop_path_graph_levels_and_bound(spark):
+    got = _khop(spark, [("a", "b"), ("b", "c"), ("c", "d")], ["a"], k=2)
+    assert got == {("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2}
+
+
+def test_khop_min_distance_on_diamond(spark):
+    """y reachable at hop 1 directly and hop 2 via x: BFS level order
+    must report dist 1, and the seed must not re-enter at dist 2."""
+    got = _khop(spark, [("s", "x"), ("x", "y"), ("s", "y")], ["s"], k=2)
+    assert got == {("s", "s"): 0, ("s", "x"): 1, ("s", "y"): 1}
+
+
+def test_khop_multi_seed_independent_and_missing_seed(spark):
+    got = _khop(spark, [("a", "b"), ("c", "d")], ["a", "zz"], k=2)
+    assert got == {
+        ("a", "a"): 0, ("a", "b"): 1,
+        ("zz", "zz"): 0,  # absent seed: dist-0 row only, no expansion
+    }
+
+
+def test_khop_single_edge_exchange_for_all_hops(spark):
+    """The symmetric edge list is repartitioned (and checkpointed) once;
+    each hop's frontier join reuses that layout, so the checkpointed
+    scan must carry the hop joins without a fresh edge-side Exchange
+    per hop (frontier-side exchanges are frontier-sized, not
+    edge-sized)."""
+    from rdf_n3_spark.operators.graph_algo import khop_neighbors
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["u", "v"])
+    s = spark.createDataFrame([("a",)], ["seed"])
+    out = khop_neighbors(e, s, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the final union reads checkpointed per-hop results; no raw
+    # cartesian anywhere
+    assert "CartesianProduct" not in plan, plan

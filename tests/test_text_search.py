@@ -51,3 +51,64 @@ def test_k_truncates_per_query(spark):
 def test_unmatched_query_yields_no_rows(spark):
     docs = [(1, "alpha beta")]
     assert _run(spark, docs, [(9, "zzz")]) == {}
+
+
+# ------------------------------------------------------------- BM25
+
+
+def _bm25_term(tf, dl, avgdl_milli, k1s=1200, bs=750):
+    """Python mirror of search_bm25's fixed-point tf normalization."""
+    norm6 = (1000 - bs) * 1000 + (bs * ((dl * 1_000_000_000) // avgdl_milli)) // 1000
+    den6 = tf * 1_000_000 + (k1s * norm6) // 1000
+    return (tf * (k1s + 1000) * 1_000_000) // den6
+
+
+def _run_bm25(spark, docs, queries, k=10):
+    from rdf_n3_spark.functions.text import search_bm25
+
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    q = spark.createDataFrame(queries, ["query_id", "qtext"])
+    return {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in search_bm25(d, q, k=k).collect()
+    }
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    docs = [
+        (1, "apple banana apple"),          # dl 3
+        (2, "banana cherry"),               # dl 2
+        (3, "kiwi banana kiwi kiwi"),       # dl 4
+        (4, "apple kiwi"),                  # dl 2
+    ]
+    # N=4, Σdl=11 → avgdl_milli = 11000 DIV 4 = 2750
+    # idf_int: apple = 4000 DIV 2 = 2000, cherry = 4000 DIV 1 = 4000
+    a = 2750
+    expect = {
+        1: 2000 * _bm25_term(2, 3, a),   # apple tf 2 in doc1
+        2: 4000 * _bm25_term(1, 2, a),   # cherry tf 1 in doc2
+        4: 2000 * _bm25_term(1, 2, a),   # apple tf 1 in doc4
+    }
+    order = sorted(expect, key=lambda d: (-expect[d], d))
+    got = _run_bm25(spark, docs, [(100, "apple cherry")])
+    assert got == {
+        (100, i + 1): (d, expect[d]) for i, d in enumerate(order)
+    }
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    """Same tf for the query token, different doc lengths: BM25 must
+    rank the shorter document first (the property plain tf-idf lacks —
+    search_topk ties these and falls back to doc_id order)."""
+    docs = [
+        (1, "target filler filler filler filler filler filler filler"),
+        (2, "target other"),
+    ]
+    got = _run_bm25(spark, docs, [(7, "target")])
+    assert got[(7, 1)][0] == 2 and got[(7, 2)][0] == 1
+    assert got[(7, 1)][1] > got[(7, 2)][1]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    q = spark.createDataFrame([(7, "target")], ["query_id", "qtext"])
+    tfidf = {(r["query_id"], r["rank"]): r["doc_id"]
+             for r in search_topk(d, q, k=10).collect()}
+    assert tfidf[(7, 1)] == 1  # the tie-break BM25 breaks on merit
