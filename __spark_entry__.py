@@ -23,6 +23,7 @@ from rdf_n3_spark.functions.text import (
     lang_id,
     lm_score,
     search_bm25,
+    search_rrf,
     search_topk,
     quality_score,
     redact,
@@ -173,6 +174,19 @@ def _q_search_bm25(spark, sf_dir):
     :func:`search_bm25`), length-normalized where plain tf-idf is not."""
     docs = _docs(spark, sf_dir)
     return search_bm25(docs, _q_search_queries(spark, sf_dir), k=10)
+
+
+def _q_search_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of the tf-idf and BM25 rankings — the
+    calibration-free way to combine retrieval systems; integer
+    micro-unit 1/(60+rank) contributions keep the fused order
+    engine-portable."""
+    docs = _docs(spark, sf_dir)
+    q = _q_search_queries(spark, sf_dir)
+    return search_rrf([
+        search_topk(docs, q, k=10),
+        search_bm25(docs, q, k=10),
+    ])
 
 
 def _q_graph_khop(spark, sf_dir):
@@ -1469,7 +1483,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (128 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (129 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1481,7 +1495,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "search_bm25", "graph_khop", "event_outliers",
+    "search_rrf", "search_bm25", "graph_khop", "event_outliers",
     "entity_enrich", "segment_funnel", "segment_order_stats",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
     "conv_transitions",
@@ -1620,6 +1634,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": lambda s, d: keyword_topk(_docs(s, d)),
         "search_topk": _q_search,
         "search_bm25": _q_search_bm25,
+        "search_rrf": _q_search_rrf,
         "graph_khop": _q_graph_khop,
         "kmv_distinct": lambda s, d: kmv_distinct_tokens(_docs(s, d)),
         "kmv_merged": _q_kmv_merged,
@@ -1856,6 +1871,98 @@ _REL_LAB = f"""
         ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
     )
 """
+
+_SEARCH_TOPK_SQL = """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            idf AS (SELECT token, (n_docs * 1000) // df AS idf_int
+                    FROM df, n),
+            q AS (
+              SELECT doc_id AS query_id,
+                     array_to_string(
+                       list_slice(string_split(lower(text), ' '), 1, 3),
+                       ' ') AS qtext
+              FROM documents WHERE doc_id < 20
+            ),
+            qtok AS (
+              SELECT DISTINCT query_id,
+                     unnest(string_split(lower(qtext), ' ')) AS token
+              FROM q
+            ),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     CAST(sum(tf.tf * idf.idf_int) AS BIGINT) AS score
+              FROM qtok JOIN tf USING (token) JOIN idf USING (token)
+              GROUP BY query_id, tf.doc_id
+            ),
+            r AS (
+              SELECT query_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank,
+                     doc_id, score
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM r WHERE rank <= 10
+"""
+
+_SEARCH_BM25_SQL = """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            a AS (SELECT ((SELECT sum(dl) FROM dl) * 1000) // n_docs
+                    AS avgdl_milli
+                  FROM n),
+            idf AS (SELECT token, (n_docs * 1000) // df AS idf_int
+                    FROM df, n),
+            q AS (
+              SELECT doc_id AS query_id,
+                     array_to_string(
+                       list_slice(string_split(lower(text), ' '), 1, 3),
+                       ' ') AS qtext
+              FROM documents WHERE doc_id < 20
+            ),
+            qtok AS (
+              SELECT DISTINCT query_id,
+                     unnest(string_split(lower(qtext), ' ')) AS token
+              FROM q
+            ),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     CAST(sum(idf.idf_int * (
+                       (tf.tf * 2200 * 1000000) //
+                       (tf.tf * 1000000 +
+                        (1200 * (250000 +
+                          (750 * ((dl.dl * 1000000000) // a.avgdl_milli))
+                          // 1000)) // 1000)
+                     )) AS BIGINT) AS score
+              FROM qtok JOIN tf USING (token) JOIN idf USING (token)
+                   JOIN dl ON tf.doc_id = dl.doc_id, a
+              GROUP BY query_id, tf.doc_id
+            ),
+            r AS (
+              SELECT query_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank,
+                     doc_id, score
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM r WHERE rank <= 10
+"""
+
 
 _KMV_SQL = """
     WITH toks AS (
@@ -3999,94 +4106,32 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # mirrors functions.text.search_topk: integer-exact tf-idf
         # (bigint floor division, both operands positive so DuckDB //
         # and Spark DIV agree), query set derived from the corpus
-        "search_topk": """
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-              FROM documents
-            ),
-            tf AS (SELECT doc_id, token, count(*) AS tf
-                   FROM toks GROUP BY doc_id, token),
-            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-            n AS (SELECT count(*) AS n_docs FROM documents),
-            idf AS (SELECT token, (n_docs * 1000) // df AS idf_int
-                    FROM df, n),
-            q AS (
-              SELECT doc_id AS query_id,
-                     array_to_string(
-                       list_slice(string_split(lower(text), ' '), 1, 3),
-                       ' ') AS qtext
-              FROM documents WHERE doc_id < 20
-            ),
-            qtok AS (
-              SELECT DISTINCT query_id,
-                     unnest(string_split(lower(qtext), ' ')) AS token
-              FROM q
-            ),
-            scored AS (
-              SELECT query_id, tf.doc_id,
-                     CAST(sum(tf.tf * idf.idf_int) AS BIGINT) AS score
-              FROM qtok JOIN tf USING (token) JOIN idf USING (token)
-              GROUP BY query_id, tf.doc_id
-            ),
-            r AS (
-              SELECT query_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY score DESC, doc_id ASC) AS rank,
-                     doc_id, score
-              FROM scored
-            )
-            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
-            FROM r WHERE rank <= 10
-        """,
+        "search_topk": _SEARCH_TOPK_SQL,
         # mirrors functions.text.search_bm25: fixed-point BM25
         # (k1 = 1.2, b = 0.75 as milli-ints, every // positive-operand
         # floor division so Spark DIV and DuckDB // agree bit-for-bit)
-        "search_bm25": """
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-              FROM documents
+        "search_bm25": _SEARCH_BM25_SQL,
+        # mirrors functions.text.search_rrf over the two lexical
+        # rankings: integer micro-unit 1/(60+rank) fusion of the same
+        # two oracle subqueries the individual rows certify
+        "search_rrf": f"""
+            WITH a AS (SELECT * FROM ({_SEARCH_TOPK_SQL}) t1),
+            b AS (SELECT * FROM ({_SEARCH_BM25_SQL}) t2),
+            u AS (
+              SELECT query_id, doc_id, rank FROM a
+              UNION ALL SELECT query_id, doc_id, rank FROM b
             ),
-            tf AS (SELECT doc_id, token, count(*) AS tf
-                   FROM toks GROUP BY doc_id, token),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-            n AS (SELECT count(*) AS n_docs FROM documents),
-            a AS (SELECT ((SELECT sum(dl) FROM dl) * 1000) // n_docs
-                    AS avgdl_milli
-                  FROM n),
-            idf AS (SELECT token, (n_docs * 1000) // df AS idf_int
-                    FROM df, n),
-            q AS (
-              SELECT doc_id AS query_id,
-                     array_to_string(
-                       list_slice(string_split(lower(text), ' '), 1, 3),
-                       ' ') AS qtext
-              FROM documents WHERE doc_id < 20
-            ),
-            qtok AS (
-              SELECT DISTINCT query_id,
-                     unnest(string_split(lower(qtext), ' ')) AS token
-              FROM q
-            ),
-            scored AS (
-              SELECT query_id, tf.doc_id,
-                     CAST(sum(idf.idf_int * (
-                       (tf.tf * 2200 * 1000000) //
-                       (tf.tf * 1000000 +
-                        (1200 * (250000 +
-                          (750 * ((dl.dl * 1000000000) // a.avgdl_milli))
-                          // 1000)) // 1000)
-                     )) AS BIGINT) AS score
-              FROM qtok JOIN tf USING (token) JOIN idf USING (token)
-                   JOIN dl ON tf.doc_id = dl.doc_id, a
-              GROUP BY query_id, tf.doc_id
+            f AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS score
+              FROM u GROUP BY query_id, doc_id
             ),
             r AS (
               SELECT query_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, doc_id ASC) AS rank,
                      doc_id, score
-              FROM scored
+              FROM f
             )
             SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
             FROM r WHERE rank <= 10

@@ -257,6 +257,40 @@ def main() -> None:
             .localCheckpoint())
     negs = sink(kg_negatives(refs, k=2))
 
+    # round-5 closing additions: BM25 retrieval (same corpus-derived
+    # query set as the driver row), the seed-set k-hop harvest, and the
+    # Tukey-fence outlier screen — one row per new family
+    from rdf_n3_spark.functions.text import search_bm25
+    from rdf_n3_spark.operators.events import event_outliers
+    from rdf_n3_spark.operators.graph_algo import khop_neighbors
+
+    bm25_q = docs_tbl.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower("text"), " "), 1, 3)).alias("qtext"))
+    bm25 = sink(search_bm25(docs_tbl, bm25_q))
+    outliers = sink(event_outliers(ev_tbl))
+    # the harvest's input contract is a MATERIALIZED edge table (same
+    # convention as kb_history/kg_negatives) — without the checkpoint
+    # every hop's eager localCheckpoint re-derives the co-mention
+    # groupBy self-join and the row times graph construction instead
+    khop_edges = (cooccurrence_edges(m1, group="conv_id", node="norm")
+                  .localCheckpoint())
+    khop_seeds = spark.createDataFrame(
+        [("part_hub",), ("supp_1",)], "seed string")
+
+    def timed_khop() -> tuple[float, float]:
+        # khop_neighbors checkpoints per hop eagerly (like PageRank),
+        # so each timed run must re-invoke the operator itself
+        def run():
+            t0 = time.perf_counter()
+            sink(khop_neighbors(khop_edges, khop_seeds, k=2)).collect()
+            return time.perf_counter() - t0
+        run()  # warm
+        times = [run() for _ in range(runs)]
+        agg = min if stat == "min" else statistics.median
+        return round(agg(times), 4), round(min(times), 4)
+
     rel = sink(relation_candidates(transcripts_df))
     cs = sink(characteristic_sets(
         mention_triples(m).unionByName(entity_triples(m))))
@@ -317,6 +351,9 @@ def main() -> None:
         "event_funnel": lambda: timed_runs(funnel, runs, stat),
         "kb_history": lambda: timed_runs(hist, runs, stat),
         "kg_negatives": lambda: timed_runs(negs, runs, stat),
+        "search_bm25": lambda: timed_runs(bm25, runs, stat),
+        "graph_khop": timed_khop,
+        "event_outliers": lambda: timed_runs(outliers, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)

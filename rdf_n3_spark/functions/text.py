@@ -337,6 +337,34 @@ def search_bm25(documents: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def search_rrf(rankings: list[DataFrame], k: int = 10,
+               k_rrf: int = 60) -> DataFrame:
+    """(query_id, rank, doc_id, score) — reciprocal-rank fusion of any
+    number of (query_id, doc_id, rank) tables (the standard way to
+    combine lexical tf-idf/BM25 and vector rankings without score
+    calibration).  Contribution per system = ``10⁶ DIV (k_rrf + rank)``
+    — the classic 1/(60+r) in exact integer micro-units, so the fused
+    ranking is bit-identical across engines and partitionings; a doc
+    missing from a system simply contributes nothing.
+
+    Scale shape: each input is already top-k-bounded per query, so the
+    union is (queries × systems × k)-sized — the fusion groupBy and
+    final window are tiny regardless of corpus size; all the heavy
+    lifting stays in the upstream retrieval operators."""
+    both = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        both = both.unionByName(r.select("query_id", "doc_id", "rank"))
+    fused = both.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(f"1000000 DIV ({int(k_rrf)} + rank)")).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        fused.select("query_id", F.row_number().over(w).alias("rank"),
+                     "doc_id", "score")
+        .where(F.col("rank") <= k)
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, exact_fp, shingle_fp): exact = md5 of whitespace-
     normalized text; shingle_fp = min md5 over word-3-gram shingles

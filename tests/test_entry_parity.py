@@ -103,6 +103,10 @@ CROSS_SF = [
     "n3_write_nquads", "token_budget_sample", "event_props_rollup",
     "label_consistency", "event_funnel", "conv_stats",
     "conv_role_protocol", "event_retention", "event_moving_stats",
+    "conv_transitions", "kb_history", "kb_history_snapshots", "kb_asof",
+    "kg_negatives", "entity_enrich", "segment_funnel",
+    "segment_order_stats", "search_bm25", "search_rrf", "graph_khop",
+    "event_outliers",
 ]
 
 

@@ -112,3 +112,34 @@ def test_bm25_length_normalization_prefers_shorter_doc(spark):
     tfidf = {(r["query_id"], r["rank"]): r["doc_id"]
              for r in search_topk(d, q, k=10).collect()}
     assert tfidf[(7, 1)] == 1  # the tie-break BM25 breaks on merit
+
+
+def test_rrf_fuses_hand_computed_ranks(spark):
+    """Two 2-row rankings over the same query, hand-folded: doc 5 is
+    rank 1 in system A and rank 2 in B; doc 6 the reverse; doc 7 only
+    appears in A at rank 3.  Contribution = 1000000 DIV (60 + rank)."""
+    from rdf_n3_spark.functions.text import search_rrf
+
+    a = spark.createDataFrame(
+        [(1, 5, 1), (1, 6, 2), (1, 7, 3)], ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame(
+        [(1, 6, 1), (1, 5, 2)], ["query_id", "doc_id", "rank"])
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in search_rrf([a, b]).collect()}
+    # 1000000//61=16393, //62=16129, //63=15873
+    # doc5 = 16393+16129 = 32522; doc6 identical; doc7 = 15873
+    # the 32522 tie breaks by doc_id asc → doc5 first
+    assert got == {
+        (1, 1): (5, 32522),
+        (1, 2): (6, 32522),
+        (1, 3): (7, 15873),
+    }
+
+
+def test_rrf_k_bounds_output(spark):
+    from rdf_n3_spark.functions.text import search_rrf
+
+    a = spark.createDataFrame(
+        [(1, d, d) for d in range(1, 8)], ["query_id", "doc_id", "rank"])
+    out = search_rrf([a], k=3).collect()
+    assert len(out) == 3 and max(r["rank"] for r in out) == 3
