@@ -1068,6 +1068,28 @@ def _q_kcore(spark, sf_dir):
         cooccurrence_edges(m, group="conv_id", node="norm"), k=3, rounds=3)
 
 
+def _q_lpa(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities (2
+    rounds, weighted majority vote, struct-max tie order) over the
+    co-mention graph — the community lens beside min-label CC."""
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        lpa_communities,
+    )
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return lpa_communities(
+        cooccurrence_edges(m, group="conv_id", node="norm"), rounds=2)
+
+
+def _q_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit: verified near-dup pairs straddling
+    the deterministic corpus_split boundary."""
+    from rdf_n3_spark.operators.curation import split_leakage
+
+    return split_leakage(_docs(spark, sf_dir))
+
+
 def _q_triangles(spark, sf_dir, max_degree=None):
     """Per-node triangle participation over the co-mention graph,
     degree-ordered orientation (each triangle enumerated once);
@@ -1483,7 +1505,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (129 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (131 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1495,6 +1517,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "graph_lpa", "split_leakage",
     "search_rrf", "search_bm25", "graph_khop", "event_outliers",
     "entity_enrich", "segment_funnel", "segment_order_stats",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
@@ -1665,6 +1688,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_pagerank,
         "comention_edges": _q_comention,
         "graph_kcore": _q_kcore,
+        "graph_lpa": _q_lpa,
+        "split_leakage": _q_split_leakage,
         "lm_score": lambda s, d: lm_score(_docs(s, d)),
         "hash_embed": lambda s, d: hash_embed(_docs(s, d)),
         # min_stop=1: the synthetic vocabulary carries ~1 Gopher stop
@@ -3433,6 +3458,57 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                    CAST(round(s.value * 100) AS BIGINT) AS ref_cents
             FROM pur p ASOF LEFT JOIN sig s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # mirrors graph_algo.lpa_communities (rounds=2) over the same
+        # co-mention edge set: unrolled synchronous rounds — weighted
+        # vote sum per (node, label), argmax by (w DESC, lab ASC) =
+        # the operator's min over the (-w, lab) struct
+        "graph_lpa": f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            eg AS (SELECT a.n AS u, b.n AS v,
+                          CAST(count(*) AS BIGINT) AS w
+                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                   GROUP BY a.n, b.n),
+            sym AS (SELECT u AS src, v AS dst, w FROM eg
+                    UNION ALL SELECT v AS src, u AS dst, w FROM eg),
+            l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+            v1 AS (SELECT s.src AS node, l.lab, sum(s.w) AS w
+                   FROM sym s JOIN l0 l ON s.dst = l.node
+                   GROUP BY s.src, l.lab),
+            l1 AS (SELECT node, lab FROM (
+                     SELECT node, lab, row_number() OVER (
+                       PARTITION BY node ORDER BY w DESC, lab ASC) AS rn
+                     FROM v1) WHERE rn = 1),
+            v2 AS (SELECT s.src AS node, l.lab, sum(s.w) AS w
+                   FROM sym s JOIN l1 l ON s.dst = l.node
+                   GROUP BY s.src, l.lab),
+            l2 AS (SELECT node, lab FROM (
+                     SELECT node, lab, row_number() OVER (
+                       PARTITION BY node ORDER BY w DESC, lab ASC) AS rn
+                     FROM v2) WHERE rn = 1)
+            SELECT node, lab AS community FROM l2
+        """,
+        # mirrors curation.split_leakage: the dedup_minhash verified
+        # pair set joined to the corpus_split assignment, cross-split
+        # pairs only
+        "split_leakage": f"""
+            {_DOC_SHINGLES},
+            spl AS (
+              SELECT doc_id,
+                     CASE WHEN b < 90 THEN 'train'
+                          WHEN b < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 AS b
+                    FROM documents))
+            SELECT v.a AS doc_a, sa.split AS split_a,
+                   v.b AS doc_b, sb.split AS split_b
+            FROM ver v
+            JOIN spl sa ON sa.doc_id = v.a
+            JOIN spl sb ON sb.doc_id = v.b
+            WHERE sa.split <> sb.split
         """,
         # mirrors events.sessionize_batch (30-min gap, per-user): the
         # same two-pass window — start flag, then running sum / running

@@ -452,3 +452,41 @@ def paragraph_dedup(documents: DataFrame) -> DataFrame:
             ).cast("int").alias("is_dup"),
         )
     )
+
+
+def split_leakage(documents: DataFrame, threshold: float = 0.8,
+                  train_pct: int = 90, val_pct: int = 5,
+                  seed: str = "split-v1") -> DataFrame:
+    """(doc_a, split_a, doc_b, split_b) — train/eval LEAKAGE AUDIT:
+    near-duplicate document pairs (LSH-blocked, exact-Jaccard-verified
+    at ``threshold``, the `dedup.minhash_neardup_pairs` pair set) that
+    STRADDLE a `corpus_split` boundary.  Hash-based splits place the
+    two copies of a duplicated template independently, so ~2·p·(1-p)
+    of near-dup pairs leak across splits — each one is an eval example
+    the model has effectively seen in training, invisible to
+    decontamination (which needs the benchmark a priori) and to
+    within-split dedup.  A curation pass either re-assigns doc_b to
+    doc_a's split or drops the eval-side copy; this operator emits the
+    evidence rows with both memberships, doc_a < doc_b.
+
+    Scale shape: the pair set is LEAKAGE-sized (≪ corpus) after the
+    star-collapsed LSH verify; the split frame is a pure narrow map
+    over the corpus, and the two membership joins are doc_id
+    equi-joins AQE resolves (broadcasting the pair side when it is
+    small, which at sane dup rates it always is).  No new shuffle
+    shape beyond the dedup pass itself."""
+    from rdf_n3_spark.operators.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(documents, threshold=threshold)
+    splits = corpus_split(documents, train_pct, val_pct, seed)
+    return (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("a"),
+                          F.col("split").alias("split_a")), "a")
+        .join(
+            splits.select(F.col("doc_id").alias("b"),
+                          F.col("split").alias("split_b")), "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(F.col("a").alias("doc_a"), "split_a",
+                F.col("b").alias("doc_b"), "split_b")
+    )

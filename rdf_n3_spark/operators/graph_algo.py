@@ -299,3 +299,60 @@ def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
         known = known.unionByName(new)
         frontier = new
     return known.select("seed", "node", F.col("dist").cast("int").alias("dist"))
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """(node, community) — deterministic SYNCHRONOUS label propagation
+    (Raghavan et al. 2007, made engine-portable): every node starts
+    labeled with its own id; each round it adopts the label with the
+    largest edge-weight-summed vote among its neighbors, ties broken
+    toward the lexically SMALLEST label (min over the (-weight, label)
+    struct — one total order both engines share).  Fixed ``rounds`` +
+    total tie order ⇒ bit-identical output on any partitioning, which
+    is what classic async/randomized LPA cannot give and what the
+    DuckDB oracle (and 100 TB re-runs) require.  Min-tie matters: a
+    greater-label tie order lets a bridge endpoint's label invade a
+    clique on the all-distinct first round, while min ties seed each
+    dense group with its own least id (CC-like locally) and the
+    majority vote then keeps the groups apart.
+
+    Complements the min-label connected components in
+    operators/canon.py: CC merges everything a weak bridge touches,
+    LPA's majority vote keeps densely-knit groups separate — the
+    community lens a KG-curation pass wants before entity-merge review.
+
+    Scale shape per round: labels are NODE-sized (≪ edges); the
+    symmetric edge list is exchanged ONCE (dst-keyed repartition +
+    localCheckpoint) and every round's edges⋈labels equi-join reuses
+    that layout; both the vote sum (node, label) and the argmax struct
+    max (node) are map-side combinable aggs, so hub in-degree skew
+    collapses to one partial per partition — no per-node rank window
+    anywhere.  Per-round ``localCheckpoint`` cuts the iterative
+    lineage like every other fixpoint operator here."""
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight")
+        .unionByName(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+        )
+        .repartition("dst")
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.sum("weight").alias("w"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("w")).alias("nw"),
+                                F.col("lab"))).alias("m"))
+            .select("node", F.col("m.lab").alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -428,3 +428,36 @@ def test_paragraph_neardup_catches_mutated_boilerplate(spark):
     assert rows[(0, 1)] == (0, 1, 0)
     assert rows[(1, 0)] == (1, 0, 0)
     assert rows[(2, 0)] == (2, 0, 0)
+
+
+def test_split_leakage_flags_only_cross_split_neardups(spark):
+    """Near-dup template copies that corpus_split dealt into different
+    splits are reported with both memberships; same-split duplicates
+    and non-duplicate cross-split docs stay silent."""
+    from rdf_n3_spark.operators.curation import corpus_split, split_leakage
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on through the night")
+    rows = [(i, base + f" tail{i % 2}") for i in range(40)]
+    rows += [(100 + i, f"wholly unrelated document number {i} about "
+              + " ".join(f"w{i}{j}" for j in range(20))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    split_of = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    got = split_leakage(docs).collect()
+    assert len(got) > 0, "template corpus must produce cross-split pairs"
+    for r in got:
+        assert r["split_a"] != r["split_b"]
+        assert r["split_a"] == split_of[r["doc_a"]]
+        assert r["split_b"] == split_of[r["doc_b"]]
+        assert r["doc_a"] < r["doc_b"]
+        assert r["doc_a"] < 100 and r["doc_b"] < 100, "unrelated docs leaked"
+
+
+def test_split_leakage_silent_on_dedup_corpus(spark):
+    """A corpus with no near-duplicates reports zero leakage no matter
+    how the splits fall."""
+    from rdf_n3_spark.operators.curation import split_leakage
+
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(25))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert split_leakage(docs).count() == 0

@@ -300,3 +300,58 @@ def test_khop_single_edge_exchange_for_all_hops(spark):
     # the final union reads checkpointed per-hop results; no raw
     # cartesian anywhere
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------- LPA
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "u string, v string, weight bigint")
+
+
+def test_lpa_separates_cliques_cc_would_merge(spark):
+    """Two 4-cliques joined by ONE weak bridge: min-label CC collapses
+    everything to one component, but the majority vote never lets the
+    bridge outvote a node's three in-clique neighbors — the community
+    lens LPA exists to add."""
+    from rdf_n3_spark.operators.graph_algo import lpa_communities
+
+    def clique(names):
+        return [(a, b, 1) for a in names for b in names if a < b]
+
+    left, right = ["a1", "a2", "a3", "a4"], ["b1", "b2", "b3", "b4"]
+    el = clique(left) + clique(right) + [("a1", "b1", 1)]
+    got = {r["node"]: r["community"]
+           for r in lpa_communities(_wedges(spark, el), rounds=2).collect()}
+    assert len({got[n] for n in left}) == 1
+    assert len({got[n] for n in right}) == 1
+    assert got["a2"] != got["b2"]
+
+
+def test_lpa_weighted_vote_and_tie_order(spark):
+    """Hand-computed 1 round on a star: center 'c' hears x(w=5) vs
+    y(w=2)+z(w=2) — label x wins on weight; leaves each hear only c.
+    Round-1 check pins BOTH the weighting and the sync semantics."""
+    from rdf_n3_spark.operators.graph_algo import lpa_communities
+
+    el = [("c", "x", 5), ("c", "y", 2), ("c", "z", 2)]
+    got = {r["node"]: r["community"]
+           for r in lpa_communities(_wedges(spark, el), rounds=1).collect()}
+    assert got == {"c": "x", "x": "c", "y": "c", "z": "c"}
+    # tie case: equal weights -> lexically smallest label wins
+    el2 = [("c", "x", 3), ("c", "y", 3)]
+    got2 = {r["node"]: r["community"]
+            for r in lpa_communities(_wedges(spark, el2), rounds=1).collect()}
+    assert got2["c"] == "x"
+
+
+def test_lpa_partitioning_independent(spark):
+    """Same labels from 1-partition and 16-partition inputs — the
+    deterministic total tie order is what buys this."""
+    from rdf_n3_spark.operators.graph_algo import lpa_communities
+
+    el = [(f"n{i}", f"n{(i * 7) % 40}", 1 + i % 3)
+          for i in range(40) if i != (i * 7) % 40]
+    df = _wedges(spark, el)
+    a = sorted(map(tuple, lpa_communities(df.coalesce(1), rounds=2).collect()))
+    b = sorted(map(tuple, lpa_communities(df.repartition(16), rounds=2).collect()))
+    assert a == b and len(a) > 0
