@@ -1070,8 +1070,9 @@ def _q_kcore(spark, sf_dir):
 
 def _q_lpa(spark, sf_dir):
     """Deterministic synchronous label-propagation communities (2
-    rounds, weighted majority vote, struct-max tie order) over the
-    co-mention graph — the community lens beside min-label CC."""
+    rounds, weighted majority vote, min (-w, label) struct tie order)
+    over the co-mention graph — the community lens beside min-label
+    CC."""
     from rdf_n3_spark.operators.graph_algo import (
         cooccurrence_edges,
         lpa_communities,

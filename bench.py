@@ -279,6 +279,27 @@ def main() -> None:
     khop_seeds = spark.createDataFrame(
         [("part_hub",), ("supp_1",)], "seed string")
 
+    # last round-5 family pair: LPA communities over the same
+    # materialized edge table, and the split-leakage audit (the
+    # minhash pair set + narrow split map — its delta vs the
+    # dedup_minhash row IS the audit's marginal cost)
+    from rdf_n3_spark.operators.curation import split_leakage
+    from rdf_n3_spark.operators.graph_algo import lpa_communities
+
+    def timed_lpa() -> tuple[float, float]:
+        # per-round eager localCheckpoint (like PageRank/khop): each
+        # timed run must re-invoke the operator itself
+        def run():
+            t0 = time.perf_counter()
+            sink(lpa_communities(khop_edges, rounds=2)).collect()
+            return time.perf_counter() - t0
+        run()  # warm
+        times = [run() for _ in range(runs)]
+        agg = min if stat == "min" else statistics.median
+        return round(agg(times), 4), round(min(times), 4)
+
+    leak = sink(split_leakage(docs_tbl))
+
     def timed_khop() -> tuple[float, float]:
         # khop_neighbors checkpoints per hop eagerly (like PageRank),
         # so each timed run must re-invoke the operator itself
@@ -354,6 +375,8 @@ def main() -> None:
         "search_bm25": lambda: timed_runs(bm25, runs, stat),
         "graph_khop": timed_khop,
         "event_outliers": lambda: timed_runs(outliers, runs, stat),
+        "graph_lpa": timed_lpa,
+        "split_leakage": lambda: timed_runs(leak, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
