@@ -1091,6 +1091,15 @@ def _q_split_leakage(spark, sf_dir):
     return split_leakage(_docs(spark, sf_dir))
 
 
+def _q_contrastive(spark, sf_dir):
+    """Contrastive training-pair mining: verified near-dups as
+    positives, band-colliding sub-threshold pairs as hard negatives,
+    labels decided in exact integer arithmetic."""
+    from rdf_n3_spark.operators.dedup import contrastive_pairs
+
+    return contrastive_pairs(_docs(spark, sf_dir))
+
+
 def _q_triangles(spark, sf_dir, max_degree=None):
     """Per-node triangle participation over the co-mention graph,
     degree-ordered orientation (each triangle enumerated once);
@@ -1506,7 +1515,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (131 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (132 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1518,7 +1527,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "graph_lpa", "split_leakage",
+    "contrastive_pairs", "graph_lpa", "split_leakage",
     "search_rrf", "search_bm25", "graph_khop", "event_outliers",
     "entity_enrich", "segment_funnel", "segment_order_stats",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
@@ -1691,6 +1700,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_kcore,
         "graph_lpa": _q_lpa,
         "split_leakage": _q_split_leakage,
+        "contrastive_pairs": _q_contrastive,
         "lm_score": lambda s, d: lm_score(_docs(s, d)),
         "hash_embed": lambda s, d: hash_embed(_docs(s, d)),
         # min_stop=1: the synthetic vocabulary carries ~1 Gopher stop
@@ -3489,6 +3499,29 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                        PARTITION BY node ORDER BY w DESC, lab ASC) AS rn
                      FROM v2) WHERE rn = 1)
             SELECT node, lab AS community FROM l2
+        """,
+        # mirrors dedup.contrastive_pairs: the same banded candidate
+        # set, labeled by exact integer-arithmetic Jaccard bands
+        # (100·|∩| vs pct·|∪| — no float comparison anywhere)
+        "contrastive_pairs": f"""
+            {_DOC_SHINGLES},
+            jj AS (
+              SELECT a, b,
+                     CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+                     CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS uni
+              FROM cand
+              JOIN shs sa ON sa.doc_id = cand.a
+              JOIN shs sb ON sb.doc_id = cand.b),
+            lab AS (
+              SELECT a, b, inter, uni,
+                     CASE WHEN 100 * inter >= 80 * uni THEN 'pos'
+                          WHEN 100 * inter >= 5 * uni
+                               AND 100 * inter < 50 * uni THEN 'hardneg'
+                     END AS label
+              FROM jj)
+            SELECT a AS doc_a, b AS doc_b,
+                   CAST((100 * inter) // uni AS BIGINT) AS j_pct, label
+            FROM lab WHERE label IS NOT NULL
         """,
         # mirrors curation.split_leakage: the dedup_minhash verified
         # pair set joined to the corpus_split assignment, cross-split

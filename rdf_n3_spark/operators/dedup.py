@@ -109,6 +109,19 @@ def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     # verify joins — computed once, cached, re-read (canon._shingle_sets
     # has the measurement; ~30% off end-to-end at sandbox scale)
     shs = doc_shingles(documents).localCheckpoint(eager=False)
+    j = _banded_candidate_jaccard(shs, n_hashes, bands, max_bucket)
+    return j.where(F.col("jaccard") >= threshold).select("a", "b")
+
+
+def _banded_candidate_jaccard(shs: DataFrame, n_hashes: int = N_HASHES,
+                              bands: int = BANDS,
+                              max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(a, b, inter, uni, jaccard) — the LSH-blocked candidate pair
+    set (hot buckets star-collapsed) with the exact shingle overlap
+    sizes attached: the shared verify stage behind
+    :func:`minhash_neardup_pairs` and :func:`contrastive_pairs`.
+    ``inter``/``uni`` are exact int sizes so integer-arithmetic
+    threshold tests stay engine-portable."""
     sig = shs.select("doc_id", *minhash_cols(n_hashes))
     keyed = band_keyed(sig, n_hashes, bands)
     hot = (
@@ -129,16 +142,60 @@ def minhash_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
         .select(F.col("bucket_min").alias("a"), F.col("doc_id").alias("b"))
     )
     cand = pairwise.unionByName(star).distinct()
-    j = (
+    return (
         cand.join(shs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
         .join(shs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("long"))
+        .withColumn("uni", F.size(F.array_union("sha", "shb")).cast("long"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+    )
+
+
+def contrastive_pairs(documents: DataFrame, pos_threshold: float = 0.8,
+                      neg_lo: float = 0.05, neg_hi: float = 0.5,
+                      n_hashes: int = N_HASHES, bands: int = BANDS,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b, j_pct, label) — contrastive TRAINING-PAIR mining
+    for embedding models over the corpus itself: ``pos`` pairs are the
+    verified near-duplicates (exact word-shingle Jaccard ≥
+    ``pos_threshold`` — semantically interchangeable texts), ``hardneg``
+    pairs collide in an LSH band yet verify into [``neg_lo``,
+    ``neg_hi``) — lexically overlapping but NOT near-duplicates, the
+    hard negatives a random in-batch draw almost never surfaces (a
+    random pair shares ~0 shingles; a band collision shares enough to
+    confuse an untrained encoder).  Candidates between ``neg_hi`` and
+    ``pos_threshold`` are ambiguous and emitted as neither.
+
+    All threshold tests run in EXACT integer arithmetic on the shingle
+    overlap sizes (Jaccard ≥ t ⇔ 100·|∩| ≥ 100·t·|∪| with integer
+    ``j_pct = (100·|∩|) div |∪|`` reported), so the label set is
+    bit-identical across engines and partitionings — no float
+    comparison anywhere.
+
+    Scale shape: identical to :func:`minhash_neardup_pairs` (same
+    banded blocking, same star-collapse, same single checkpointed
+    shingle scan feeding signatures and verify); the only addition is
+    the label CASE over already-computed sizes."""
+    shs = doc_shingles(documents).localCheckpoint(eager=False)
+    j = _banded_candidate_jaccard(shs, n_hashes, bands, max_bucket)
+    pos_c = F.lit(int(round(pos_threshold * 100)))
+    lo_c = F.lit(int(round(neg_lo * 100)))
+    hi_c = F.lit(int(round(neg_hi * 100)))
+    i100 = F.col("inter") * 100
+    label = (
+        F.when(i100 >= pos_c * F.col("uni"), "pos")
+        .when((i100 >= lo_c * F.col("uni")) & (i100 < hi_c * F.col("uni")),
+              "hardneg")
+    )
+    return (
+        j.withColumn("label", label)
+        .where(F.col("label").isNotNull())
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+            F.expr("CAST((100 * inter) DIV uni AS BIGINT)").alias("j_pct"),
+            "label",
         )
     )
-    return j.where(F.col("jaccard") >= threshold).select("a", "b")
 
 
 _JACCARD = (

@@ -113,3 +113,48 @@ def test_max_bucket_knob_preserves_clusters_and_precision(spark):
     tiny = _got_pairs(spark, rows, max_bucket=2)
     assert tiny <= truth  # exact verify still gates every star edge
     assert _components(tiny) == _components(default)
+
+
+def test_contrastive_pairs_labels_and_pos_set(spark):
+    """Label contract on a template corpus: every `pos` has exact
+    Jaccard >= 0.8, every `hardneg` lands in [0.05, 0.5), the ambiguous
+    zone [0.5, 0.8) is never emitted, j_pct is the exact integer
+    (100*|∩|) div |∪|, and the pos set EQUALS minhash_neardup_pairs —
+    mining labels never changes the dedup verdict.  Heavier-mutation
+    variants (12-22 subs of 40) produce band-colliding mid-Jaccard
+    pairs, so the hardneg class is exercised non-vacuously."""
+    from rdf_n3_spark.operators.dedup import contrastive_pairs
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    rows = []
+    for t in range(12):
+        base = [rng.choice(vocab) for _ in range(40)]
+        for v, subs in enumerate([0, 3, 14, 18, 22]):
+            words = list(base)
+            for _ in range(subs):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((f"t{t:02d}_{v}", " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def sh(text):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    sets = {d: sh(t) for d, t in rows}
+    got = contrastive_pairs(df).collect()
+    assert any(r["label"] == "hardneg" for r in got), "hardneg class vacuous"
+    assert any(r["label"] == "pos" for r in got)
+    for r in got:
+        inter = len(sets[r["doc_a"]] & sets[r["doc_b"]])
+        uni = len(sets[r["doc_a"]] | sets[r["doc_b"]])
+        assert r["j_pct"] == (100 * inter) // uni
+        if r["label"] == "pos":
+            assert 100 * inter >= 80 * uni
+        else:
+            assert r["label"] == "hardneg"
+            assert 5 * uni <= 100 * inter < 50 * uni
+    pos = {(r["doc_a"], r["doc_b"]) for r in got if r["label"] == "pos"}
+    dedup = {(r["a"], r["b"])
+             for r in minhash_neardup_pairs(df).collect()}
+    assert pos == dedup
