@@ -276,21 +276,32 @@ def corpus_split(documents: DataFrame, train_pct: int = 90,
     Pure narrow map — no shuffle, no sampling nondeterminism; the same
     row always lands in the same split on any cluster size, which is
     what makes the assignment auditable and resumable at 100 TB."""
+    return documents.select(
+        "doc_id",
+        split_expr(F.col("doc_id"), train_pct, val_pct, seed).alias("split"),
+    )
+
+
+def split_expr(doc_id_col, train_pct: int = 90, val_pct: int = 5,
+               seed: str = "split-v1"):
+    """The :func:`corpus_split` assignment as a bare Column expression:
+    split membership is a PURE FUNCTION of the document id, so any
+    consumer (the streaming leakage audit, a join-side probe) can
+    evaluate it in place — no split table to maintain, distribute, or
+    keep consistent."""
     bucket = F.pmod(
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit(seed + "|"),
-                               F.col("doc_id").cast("string"))), 1, 8),
+                               doc_id_col.cast("string"))), 1, 8),
             16, 10,
         ).cast("long"),
         F.lit(100),
     )
-    return documents.select(
-        "doc_id",
+    return (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
-        .alias("split"),
     )
 
 

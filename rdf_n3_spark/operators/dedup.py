@@ -257,6 +257,35 @@ def lsh_band_index(corpus: DataFrame, n_hashes: int = N_HASHES,
     )
 
 
+def corpus_rep_neardups(new_docs: DataFrame, corpus: DataFrame,
+                        threshold: float = 0.8, n_hashes: int = N_HASHES,
+                        bands: int = BANDS) -> DataFrame:
+    """(doc_id, rep) — NEW documents whose exact word-shingle Jaccard
+    against their LSH-bucket REPRESENTATIVE in the persisted corpus
+    index clears ``threshold``: the corpus-side half of
+    :func:`incremental_neardup`, factored out so composites (the
+    streaming split-leakage audit) can consume the verified (new,
+    corpus) pairs themselves rather than only the keep/drop verdict.
+    Same bounded-skew representative-verify trade as the ingest gate;
+    per-batch work is index-sized + batch-sized, never corpus-sized."""
+    shs_new = doc_shingles(new_docs).localCheckpoint(eager=False)
+    sig_new = shs_new.select("doc_id", *minhash_cols(n_hashes))
+    cand = (
+        band_keyed(sig_new, n_hashes, bands)
+        .join(lsh_band_index(corpus, n_hashes, bands), "band_key")
+        .select("doc_id", "rep")
+        .distinct()
+    )
+    cshs = doc_shingles(corpus)
+    return (
+        cand.join(shs_new.withColumnRenamed("sh", "sha"), "doc_id")
+        .join(cshs.select(F.col("doc_id").alias("rep"),
+                          F.col("sh").alias("shb")), "rep")
+        .where(_JACCARD() >= threshold)
+        .select("doc_id", "rep")
+    )
+
+
 def incremental_neardup(new_docs: DataFrame, corpus: DataFrame,
                         threshold: float = 0.8, n_hashes: int = N_HASHES,
                         bands: int = BANDS,
@@ -282,21 +311,7 @@ def incremental_neardup(new_docs: DataFrame, corpus: DataFrame,
     to reuse (same contract as :func:`source_dup_matrix`'s ``pairs``):
     composites that also need the batch's pair set compute it once and
     pass it to every consumer instead of re-running LSH here."""
-    shs_new = doc_shingles(new_docs).localCheckpoint(eager=False)
-    sig_new = shs_new.select("doc_id", *minhash_cols(n_hashes))
-    cand = (
-        band_keyed(sig_new, n_hashes, bands)
-        .join(lsh_band_index(corpus, n_hashes, bands), "band_key")
-        .select("doc_id", "rep")
-        .distinct()
-    )
-    cshs = doc_shingles(corpus)
-    ver = (
-        cand.join(shs_new.withColumnRenamed("sh", "sha"), "doc_id")
-        .join(cshs.select(F.col("doc_id").alias("rep"),
-                          F.col("sh").alias("shb")), "rep")
-        .where(_JACCARD() >= threshold)
-    )
+    ver = corpus_rep_neardups(new_docs, corpus, threshold, n_hashes, bands)
     corp = ver.groupBy("doc_id").agg(F.min("rep").alias("dup_of_corpus"))
     if batch_pairs is None:
         batch_pairs = minhash_neardup_pairs(new_docs, threshold, n_hashes,

@@ -89,3 +89,59 @@ def stream_embedding_gate(stream: DataFrame, corpus: DataFrame,
             verdict.where(F.col("keep") == 1).select("vec_id"), "vec_id")
 
     return epoch_overwrite_sink(stream, out_dir, checkpoint_dir, kept)
+
+
+def stream_split_leakage(stream: DataFrame, corpus: DataFrame,
+                         out_dir: str, checkpoint_dir: str,
+                         threshold: float = 0.8, train_pct: int = 90,
+                         val_pct: int = 5, seed: str = "split-v1"):
+    """Continuous train/eval LEAKAGE AUDIT — the streaming twin of
+    :func:`rdf_n3_spark.operators.curation.split_leakage`: every
+    micro-batch of incoming documents is checked for near-duplicate
+    pairs that straddle the deterministic `corpus_split` boundary,
+    both WITHIN the batch (the batch operator, oracle-gated, run per
+    epoch) and AGAINST the persisted corpus LSH index
+    (:func:`rdf_n3_spark.operators.dedup.corpus_rep_neardups` —
+    band probe + representative verify, the ingest-gate recall trade).
+    Evidence rows (doc_a, split_a, doc_b, split_b), doc_a < doc_b,
+    land per-epoch under the shared
+    :func:`rdf_n3_spark.streaming.sink.epoch_overwrite_sink`
+    exactly-once contract.
+
+    No split STATE exists anywhere: membership is a pure function of
+    the document id (`curation.split_expr`), evaluated in place on
+    both the batch side and the corpus-representative side — the
+    property that makes the audit a stateless composition instead of
+    a stream-static join against a split table that could go stale.
+
+    Scale: per micro-batch work is index-sized + batch-sized (never
+    corpus-sized); cross-epoch recall rides the representative-verify
+    floor measured for the ingest gate (tests/test_incremental_recall)."""
+    from rdf_n3_spark.operators.curation import split_expr, split_leakage
+    from rdf_n3_spark.operators.dedup import corpus_rep_neardups
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
+
+    def leaks(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        within = split_leakage(batch_df, threshold, train_pct, val_pct, seed)
+        ver = corpus_rep_neardups(batch_df, corpus, threshold)
+        lo_first = F.col("doc_id") < F.col("rep")
+        cross = (
+            ver.withColumn("split_new",
+                           split_expr(F.col("doc_id"), train_pct, val_pct, seed))
+            .withColumn("split_rep",
+                        split_expr(F.col("rep"), train_pct, val_pct, seed))
+            .where(F.col("split_new") != F.col("split_rep"))
+            .select(
+                F.when(lo_first, F.col("doc_id")).otherwise(F.col("rep"))
+                .alias("doc_a"),
+                F.when(lo_first, F.col("split_new")).otherwise(F.col("split_rep"))
+                .alias("split_a"),
+                F.when(lo_first, F.col("rep")).otherwise(F.col("doc_id"))
+                .alias("doc_b"),
+                F.when(lo_first, F.col("split_rep")).otherwise(F.col("split_new"))
+                .alias("split_b"),
+            )
+        )
+        return within.unionByName(cross)
+
+    return epoch_overwrite_sink(stream, out_dir, checkpoint_dir, leaks)

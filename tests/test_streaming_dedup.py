@@ -122,3 +122,47 @@ def test_stream_neardup_gate_epoch_replay_is_idempotent(spark, tmp_path):
 
     rows = spark.read.parquet(out).collect()
     assert [(r.doc_id, r.epoch) for r in rows] == [(100, 0)]
+
+
+def test_stream_split_leakage_within_and_cross(spark, tmp_path):
+    """The continuous leakage audit emits BOTH halves — within-batch
+    near-dup pairs straddling splits (== the batch split_leakage on
+    the same rows) and batch-vs-corpus leaks via the representative
+    verify — while same-split near-dups stay silent.  Split ids are
+    pinned from the deterministic md5 assignment: 0/2/3/4/5 → train,
+    1/17 → val."""
+    from rdf_n3_spark.operators.curation import split_leakage
+    from rdf_n3_spark.streaming.dedup import stream_split_leakage
+
+    tpl_a = " ".join(f"a{i}" for i in range(40))
+    tpl_b = " ".join(f"b{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(0, tpl_a), (5, "unrelated corpus content " * 8)],
+        ["doc_id", "text"])
+    batch_rows = [
+        (1, tpl_a + " x1"),   # val;   corpus leak vs 0 (train) + batch pair w/ 3
+        (3, tpl_a + " x3"),   # train; corpus NEAR-DUP of 0 but SAME split → silent
+        (2, tpl_b + " y2"),   # train; within-batch leak w/ 17
+        (17, tpl_b + " y17"), # val
+        (4, " ".join(f"u{i}" for i in range(40))),  # train; unique
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(batch_rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "leaks")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_split_leakage(stream, corpus, out, str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+
+    got = {(r.doc_a, r.split_a, r.doc_b, r.split_b)
+           for r in spark.read.parquet(out).collect()}
+    expected = {
+        (0, "train", 1, "val"),    # cross: corpus rep 0 vs incoming 1
+        (1, "val", 3, "train"),    # within-batch template-A pair
+        (2, "train", 17, "val"),   # within-batch template-B pair
+    }
+    assert got == expected
+    # the within-batch half IS the batch operator run per epoch
+    batch_within = {(r.doc_a, r.split_a, r.doc_b, r.split_b)
+                    for r in split_leakage(spark.read.parquet(src)).collect()}
+    assert batch_within == {(1, "val", 3, "train"), (2, "train", 17, "val")}
