@@ -125,3 +125,48 @@ def test_windowed_histogram_matches_batch_sketch(spark, tmp_path):
         spark.read.parquet(src), window="1 hour", width_cents=600)
     got_batch = {(r["event_type"], r["bin"]): r["n"] for r in batch.collect()}
     assert got_batch == got
+
+
+def test_stream_events_asof_equals_batch(spark, tmp_path):
+    """The continuous as-of enrichment is EXACT: the union of per-epoch
+    outputs equals the batch asof_join over the whole stream, because
+    an as-of verdict depends only on the left row and the static
+    reference — never on other stream rows or epoch boundaries.
+    Two source files ⇒ availableNow may split them across epochs;
+    equality must hold regardless."""
+    from rdf_n3_spark.operators.events import asof_join, latest_per_ts
+    from rdf_n3_spark.streaming.ingest import stream_events_asof
+
+    ref_rows = [  # (event_id, user_id, ts, value)
+        (1, "u1", "2026-01-01 00:00:00", 10.0),
+        (2, "u1", "2026-01-01 02:00:00", 20.0),
+        (3, "u2", "2026-01-01 01:00:00", 30.0),
+    ]
+    ref = latest_per_ts(spark.createDataFrame(
+        ref_rows, "event_id long, user_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")))
+    left_schema = "event_id long, user_id string, ts string"
+    batches = [
+        [(100, "u1", "2026-01-01 01:00:00"),   # -> ref 1
+         (101, "u1", "2026-01-01 02:00:00")],  # equal-ts match -> ref 2
+        [(102, "u2", "2026-01-01 00:30:00"),   # before any ref -> NULLs
+         (103, "u3", "2026-01-01 05:00:00")],  # unknown key -> NULLs
+    ]
+    src = str(tmp_path / "in")
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, left_schema)
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    out = str(tmp_path / "enriched")
+    stream = spark.readStream.schema(
+        "event_id long, user_id string, ts timestamp").parquet(src)
+    q = stream_events_asof(stream, ref, out, str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+
+    got = {(r.event_id, r.ref_event_id, r.ref_value)
+           for r in spark.read.parquet(out).collect()}
+    batch = {(r.event_id, r.ref_event_id, r.ref_value)
+             for r in asof_join(spark.read.parquet(src), ref).collect()}
+    assert got == batch == {
+        (100, 1, 10.0), (101, 2, 20.0), (102, None, None), (103, None, None)}
