@@ -1100,6 +1100,18 @@ def _q_contrastive(spark, sf_dir):
     return contrastive_pairs(_docs(spark, sf_dir))
 
 
+def _q_contrastive_incremental(spark, sf_dir):
+    """Ingest-time contrastive mining over the dedup_incremental
+    new/corpus split: within-batch pairs ∪ labeled (corpus
+    representative, new doc) pairs from the persisted-index probe."""
+    from rdf_n3_spark.operators.dedup import contrastive_pairs_incremental
+
+    docs = _docs(spark, sf_dir)
+    return contrastive_pairs_incremental(
+        docs.where(F.col("doc_id") % 10 == 7),
+        docs.where(F.col("doc_id") % 10 != 7))
+
+
 def _q_triangles(spark, sf_dir, max_degree=None):
     """Per-node triangle participation over the co-mention graph,
     degree-ordered orientation (each triangle enumerated once);
@@ -1515,7 +1527,7 @@ def _q_frame_sample(spark, sf_dir):
 # the rotation: those six formerly-overflow queries (cms_freq,
 # relation_triples, kb_void, source_weights, paragraph_neardup,
 # triangle_counts_capped) lead the window together with every new
-# round-5 operator, so after CORRECTNESS_r05 every query (132 incl.
+# round-5 operator, so after CORRECTNESS_r05 every query (133 incl.
 # this round's additions) has a driver-green row in some round's
 # artifact.  tests/test_entry_parity.py::test_driver_window_covers_uncertified
 # pins the invariant.  Rotation contract for FUTURE rounds: genuinely
@@ -1527,7 +1539,8 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
-    "contrastive_pairs", "graph_lpa", "split_leakage",
+    "contrastive_incremental", "contrastive_pairs", "graph_lpa",
+    "split_leakage",
     "search_rrf", "search_bm25", "graph_khop", "event_outliers",
     "entity_enrich", "segment_funnel", "segment_order_stats",
     "kb_history", "kb_history_snapshots", "kb_asof", "kg_negatives",
@@ -1773,6 +1786,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda s, d: incremental_neardup(
             _docs(s, d).where(F.col("doc_id") % 10 == 7),
             _docs(s, d).where(F.col("doc_id") % 10 != 7)),
+        # ingest-time contrastive mining over the same new/corpus split
+        "contrastive_incremental": _q_contrastive_incremental,
         "embed_kmeans": lambda s, d: embed_kmeans(_embs(s, d)),
         # cluster-bounded kNN mislabel screen over the labeled vectors
         "label_consistency": lambda s, d: label_consistency(_embs(s, d)),
@@ -2860,6 +2875,70 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
             LEFT JOIN corp USING (doc_id) LEFT JOIN bdup USING (doc_id)
+        """,
+        # mirrors dedup.contrastive_pairs_incremental over the same
+        # new/corpus split: within-batch candidates (the batch miner's
+        # cand set over the %10=7 slice) ∪ (rep, new-doc) index-probe
+        # candidates, one integer-arithmetic label CASE over both
+        "contrastive_incremental": f"""
+            {_DOC_SHINGLES.replace(
+                "FROM documents)",
+                "FROM documents WHERE doc_id % 10 = 7)")},
+            cshs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE doc_id % 10 <> 7)
+            ),
+            cshing AS (SELECT doc_id, unnest(sh) AS s1 FROM cshs),
+            csig AS (
+              SELECT doc_id,
+                     min(md5('0|' || s1)) AS h0, min(md5('1|' || s1)) AS h1,
+                     min(md5('2|' || s1)) AS h2, min(md5('3|' || s1)) AS h3,
+                     min(md5('4|' || s1)) AS h4, min(md5('5|' || s1)) AS h5,
+                     min(md5('6|' || s1)) AS h6, min(md5('7|' || s1)) AS h7
+              FROM cshing GROUP BY doc_id
+            ),
+            ckeyed AS (
+              SELECT doc_id, unnest([
+                '0|' || h0 || '|' || h1, '1|' || h2 || '|' || h3,
+                '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS band_key
+              FROM csig
+            ),
+            cindex AS (
+              SELECT band_key, min(doc_id) AS rep FROM ckeyed GROUP BY band_key
+            ),
+            ccand AS (
+              SELECT DISTINCT k.doc_id, i.rep
+              FROM keyed k JOIN cindex i USING (band_key)
+            ),
+            alljj AS (
+              SELECT cand.a, cand.b,
+                     CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+                     CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS uni
+              FROM cand
+              JOIN shs sa ON sa.doc_id = cand.a
+              JOIN shs sb ON sb.doc_id = cand.b
+              UNION ALL
+              SELECT c.rep AS a, c.doc_id AS b,
+                     CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+                     CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS uni
+              FROM ccand c
+              JOIN shs sa ON sa.doc_id = c.doc_id
+              JOIN cshs sb ON sb.doc_id = c.rep
+            ),
+            clab AS (
+              SELECT a, b, inter, uni,
+                     CASE WHEN 100 * inter >= 80 * uni THEN 'pos'
+                          WHEN 100 * inter >= 5 * uni
+                               AND 100 * inter < 50 * uni THEN 'hardneg'
+                     END AS label
+              FROM alljj)
+            SELECT a AS doc_a, b AS doc_b,
+                   CAST((100 * inter) // uni AS BIGINT) AS j_pct, label
+            FROM clab WHERE label IS NOT NULL
         """,
         # same verified pair set as dedup_minhash, closed transitively:
         # component min via recursive reachability (sym edges), then

@@ -178,6 +178,15 @@ def contrastive_pairs(documents: DataFrame, pos_threshold: float = 0.8,
     the label CASE over already-computed sizes."""
     shs = doc_shingles(documents).localCheckpoint(eager=False)
     j = _banded_candidate_jaccard(shs, n_hashes, bands, max_bucket)
+    return _label_pairs(j, "a", "b", pos_threshold, neg_lo, neg_hi)
+
+
+def _label_pairs(j: DataFrame, a_col: str, b_col: str,
+                 pos_threshold: float, neg_lo: float,
+                 neg_hi: float) -> DataFrame:
+    """Integer-arithmetic contrastive labeling over (a, b, inter, uni)
+    rows — the shared cut behind :func:`contrastive_pairs` and
+    :func:`contrastive_pairs_incremental`."""
     pos_c = F.lit(int(round(pos_threshold * 100)))
     lo_c = F.lit(int(round(neg_lo * 100)))
     hi_c = F.lit(int(round(neg_hi * 100)))
@@ -191,11 +200,40 @@ def contrastive_pairs(documents: DataFrame, pos_threshold: float = 0.8,
         j.withColumn("label", label)
         .where(F.col("label").isNotNull())
         .select(
-            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+            F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b"),
             F.expr("CAST((100 * inter) DIV uni AS BIGINT)").alias("j_pct"),
             "label",
         )
     )
+
+
+def contrastive_pairs_incremental(new_docs: DataFrame, corpus: DataFrame,
+                                  pos_threshold: float = 0.8,
+                                  neg_lo: float = 0.05, neg_hi: float = 0.5,
+                                  n_hashes: int = N_HASHES, bands: int = BANDS,
+                                  max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Contrastive training-pair mining AT INGEST — the incremental
+    twin of :func:`contrastive_pairs`: each NEW batch contributes
+    labeled pairs both WITHIN itself (the batch miner, full hot-bucket
+    machinery) and AGAINST the persisted corpus LSH index
+    (:func:`corpus_rep_overlap` — band probe + exact sizes vs the
+    bucket representative, the same bounded-skew trade as the ingest
+    gate).  Cross rows put the corpus representative in ``doc_a`` and
+    the new document in ``doc_b`` (provenance: which side was already
+    in the training pool); within-batch rows keep the miner's
+    ``doc_a < doc_b``.  Same integer-arithmetic label contract, so the
+    pair stream a continuous embedding-training pipeline accumulates
+    is bit-identical to re-mining at rest.
+
+    Scale: per-batch work is index-sized + batch-sized, never
+    corpus-sized — mining rides the exact joins the ingest gate
+    already runs."""
+    within = contrastive_pairs(new_docs, pos_threshold, neg_lo, neg_hi,
+                               n_hashes, bands, max_bucket)
+    cross = _label_pairs(
+        corpus_rep_overlap(new_docs, corpus, n_hashes, bands),
+        "rep", "doc_id", pos_threshold, neg_lo, neg_hi)
+    return within.unionByName(cross)
 
 
 _JACCARD = (
@@ -268,6 +306,25 @@ def corpus_rep_neardups(new_docs: DataFrame, corpus: DataFrame,
     corpus) pairs themselves rather than only the keep/drop verdict.
     Same bounded-skew representative-verify trade as the ingest gate;
     per-batch work is index-sized + batch-sized, never corpus-sized."""
+    return (
+        corpus_rep_overlap(new_docs, corpus, n_hashes, bands)
+        .where(F.col("inter") * F.lit(100)
+               >= F.lit(int(round(threshold * 100))) * F.col("uni"))
+        .select("doc_id", "rep")
+    )
+
+
+def corpus_rep_overlap(new_docs: DataFrame, corpus: DataFrame,
+                       n_hashes: int = N_HASHES,
+                       bands: int = BANDS) -> DataFrame:
+    """(doc_id, rep, inter, uni) — every (new doc, corpus bucket
+    representative) candidate that collides in an LSH band, with the
+    EXACT shingle intersection/union sizes attached and NO similarity
+    filter: the unfiltered verify stage both
+    :func:`corpus_rep_neardups` (≥ threshold) and
+    :func:`contrastive_pairs_incremental` (labeled bands) cut from.
+    Integer sizes so every downstream threshold test stays
+    engine-portable."""
     shs_new = doc_shingles(new_docs).localCheckpoint(eager=False)
     sig_new = shs_new.select("doc_id", *minhash_cols(n_hashes))
     cand = (
@@ -281,8 +338,11 @@ def corpus_rep_neardups(new_docs: DataFrame, corpus: DataFrame,
         cand.join(shs_new.withColumnRenamed("sh", "sha"), "doc_id")
         .join(cshs.select(F.col("doc_id").alias("rep"),
                           F.col("sh").alias("shb")), "rep")
-        .where(_JACCARD() >= threshold)
-        .select("doc_id", "rep")
+        .select(
+            "doc_id", "rep",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("inter"),
+            F.size(F.array_union("sha", "shb")).cast("long").alias("uni"),
+        )
     )
 
 

@@ -158,3 +158,39 @@ def test_contrastive_pairs_labels_and_pos_set(spark):
     dedup = {(r["a"], r["b"])
              for r in minhash_neardup_pairs(df).collect()}
     assert pos == dedup
+
+
+def test_contrastive_incremental_within_and_cross(spark):
+    """The ingest-time miner emits BOTH halves with the same label
+    contract: within-batch rows equal the batch miner on the batch,
+    cross rows label (corpus representative, new doc) pairs — a
+    near-dup of the corpus template mines as `pos`, a 40-token-prefix
+    /60-token-tail variant band-collides at exact j_pct 38 and mines
+    as `hardneg`, and unrelated docs stay silent."""
+    from rdf_n3_spark.operators.dedup import (
+        contrastive_pairs,
+        contrastive_pairs_incremental,
+    )
+
+    tpl = " ".join(f"a{i}" for i in range(40))
+    tpl_b = " ".join(f"b{i}" for i in range(40))
+    corpus = spark.createDataFrame([(0, tpl)], ["doc_id", "text"])
+    batch_rows = [
+        (100, tpl + " x"),                                        # cross pos
+        (101, tpl + " " + " ".join(f"t0x{j}" for j in range(60))),  # cross hardneg
+        (102, tpl_b + " y2"),                                     # within pos w/ 103
+        (103, tpl_b + " y3"),
+        (104, " ".join(f"u{j}" for j in range(40))),              # silent
+    ]
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b, r.j_pct, r.label)
+           for r in contrastive_pairs_incremental(batch, corpus).collect()}
+    within = {(r.doc_a, r.doc_b, r.j_pct, r.label)
+              for r in contrastive_pairs(batch).collect()}
+    assert within <= got, "within-batch half must equal the batch miner"
+    cross = got - within
+    assert {(a, lab) for a, b, j, lab in cross} == {(0, "pos"), (0, "hardneg")}
+    by_b = {b: (j, lab) for a, b, j, lab in cross}
+    assert by_b[100][1] == "pos" and by_b[100][0] >= 80
+    assert by_b[101] == (38, "hardneg")
+    assert 104 not in by_b
