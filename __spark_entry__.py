@@ -98,6 +98,9 @@ from rdf_n3_spark.operators.sketch import (
 from rdf_n3_spark.operators.conversations import (
     conversation_stats,
     role_protocol,
+    sft_pairs,
+    tool_chains,
+    tool_transitions,
     turn_transitions,
 )
 from rdf_n3_spark.operators.mentions import extract_mentions
@@ -1126,6 +1129,23 @@ def _q_triangles(spark, sf_dir, max_degree=None):
                            max_degree=max_degree)
 
 
+def _q_linkpred(spark, sf_dir):
+    """Common-neighbor link prediction over the co-mention graph:
+    non-adjacent entity pairs sharing ≥16 neighbors (the graph is
+    dense — lower floors emit millions of weak pairs), hub mids
+    capped at degree 400 (the triangle_counts celebrity-cap
+    contract)."""
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        linkpred_scores,
+    )
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    return linkpred_scores(
+        cooccurrence_edges(m, group="conv_id", node="norm"),
+        max_degree=400, min_common=16)
+
+
 def _q_pagerank(spark, sf_dir):
     """Quantized 3-iteration PageRank over the entity graph's node-ref
     edges — the iterative-algorithm surface, exact-int so the unrolled
@@ -1539,6 +1559,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "sft_pairs", "tool_chains", "tool_transitions", "graph_linkpred",
     "contrastive_incremental", "contrastive_pairs", "graph_lpa",
     "split_leakage",
     "search_rrf", "search_bm25", "graph_khop", "event_outliers",
@@ -1610,6 +1631,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             transcripts(s, d)),
         "conv_transitions": lambda s, d: turn_transitions(
             transcripts(s, d)),
+        "sft_pairs": lambda s, d: sft_pairs(transcripts(s, d)),
+        "tool_chains": lambda s, d: tool_chains(transcripts(s, d)),
+        "tool_transitions": lambda s, d: tool_transitions(
+            transcripts(s, d)),
+        "graph_linkpred": _q_linkpred,
         "mention_extract": _q_mentions,
         "triple_emit": _q_mention_triples,
         "entity_agg": _q_entity_triples,
@@ -2139,6 +2165,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(gap_s) AS BIGINT) AS max_gap_seconds
             FROM seq WHERE role_from IS NOT NULL
             GROUP BY role_from, role_to
+        """,
+        # mirrors conversations.sft_pairs: lead() pairing, idx-strict
+        # adjacency, shared lower+space token counts, gate as a column
+        "sft_pairs": f"""
+            WITH {_T},
+            seq AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lead(turn_idx) OVER w AS nx_idx,
+                     lead(role) OVER w AS nx_role,
+                     lead(text) OVER w AS nx_text
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, turn_idx,
+                   text AS prompt, nx_text AS response,
+                   CAST(len(string_split(lower(text), ' ')) AS INT)
+                     AS n_prompt_tokens,
+                   CAST(len(string_split(lower(nx_text), ' ')) AS INT)
+                     AS n_response_tokens,
+                   CAST(CASE WHEN text <> '' AND nx_text <> ''
+                             AND len(string_split(lower(text), ' ')) >= 1
+                             AND len(string_split(lower(nx_text), ' ')) >= 1
+                        THEN 1 ELSE 0 END AS INT) AS ok
+            FROM seq
+            WHERE role = 'user' AND nx_role = 'assistant'
+              AND nx_idx = turn_idx + 1
+        """,
+        # mirrors conversations.tool_chains: ordered tool-call
+        # subsequence per conversation, '>'-joined fingerprint
+        "tool_chains": f"""
+            WITH {_T}
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+                   arg_min(tool, turn_idx) AS first_tool,
+                   arg_max(tool, turn_idx) AS last_tool,
+                   string_agg(tool, '>' ORDER BY turn_idx) AS chain
+            FROM transcripts WHERE tool <> ''
+            GROUP BY conv_id
+        """,
+        # mirrors conversations.tool_transitions: lag() over the
+        # filtered tool-call subsequence (non-tool turns don't break
+        # the chain)
+        "tool_transitions": f"""
+            WITH {_T},
+            calls AS (
+              SELECT conv_id, tool AS tool_to,
+                     lag(tool) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS tool_from
+              FROM transcripts WHERE tool <> ''
+            )
+            SELECT tool_from, tool_to,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM calls WHERE tool_from IS NOT NULL
+            GROUP BY tool_from, tool_to
         """,
         # mirrors conversations.role_protocol: the HOF fold replayed
         # as lag/run-length windows over turn_idx order
@@ -3532,6 +3614,38 @@ keep AS (SELECT a, b, score FROM scored WHERE score >= 0.5)
         # orientation → wedge join → closure; explode corners
         "triangle_counts": _triangles_oracle(),
         "triangle_counts_capped": _triangles_oracle(cap=400),
+        # mirrors graph_algo.linkpred_scores over the co-mention
+        # graph: wedges through capped mids (endpoint degrees stay
+        # full-graph), min_common=16 (the co-mention graph is dense:
+        # lower floors emit millions of weak pairs), linked pairs cut
+        "graph_linkpred": f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            eg AS (SELECT a.n AS u, b.n AS v
+                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                   GROUP BY a.n, b.n),
+            adj AS (SELECT u AS n, v AS nbr FROM eg
+                    UNION ALL SELECT v AS n, u AS nbr FROM eg),
+            degs AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                     FROM adj GROUP BY n),
+            mids AS (SELECT adj.n, adj.nbr FROM adj
+                     JOIN degs ON degs.n = adj.n WHERE degs.d <= 400),
+            common AS (
+              SELECT a.nbr AS u, b.nbr AS v,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM mids a JOIN mids b ON a.n = b.n AND a.nbr < b.nbr
+              GROUP BY a.nbr, b.nbr
+              HAVING count(*) >= 16),
+            unlinked AS (
+              SELECT c.u, c.v, c.n_common FROM common c
+              WHERE NOT EXISTS (SELECT 1 FROM eg
+                                WHERE eg.u = c.u AND eg.v = c.v))
+            SELECT ul.u, ul.v, ul.n_common,
+                   du.d AS deg_u, dv.d AS deg_v
+            FROM unlinked ul
+            JOIN degs du ON du.n = ul.u
+            JOIN degs dv ON dv.n = ul.v
+        """,
         "events_asof": """
             WITH sig AS (
               SELECT user_id, ts, event_id, value FROM (

@@ -217,3 +217,113 @@ def transition_partials(transcripts: DataFrame) -> DataFrame:
         .unionByName(_open("f", ~F.coalesce(adj_next, F.lit(False))))
         .unionByName(_open("b", ~F.coalesce(adj_prev, F.lit(False))))
     )
+
+
+def sft_pairs(transcripts: DataFrame,
+              min_prompt_tokens: int = 1,
+              min_response_tokens: int = 1) -> DataFrame:
+    """(conv_id, turn_idx, prompt, response, n_prompt_tokens,
+    n_response_tokens, ok) — supervised-fine-tuning pair extraction:
+    every ADJACENT user→assistant turn pair (the assistant turn at
+    ``turn_idx + 1`` answers the user turn at ``turn_idx``), the
+    training-example constructor a transcripts corpus exists to feed.
+    ``ok = 1`` iff both sides clear their token floors — pairs are
+    emitted with the gate as a column (not pre-filtered) so a curation
+    run can audit WHY examples were dropped; filter ``ok = 1`` for the
+    training set.  Adjacency is idx-strict (``nx_idx == turn_idx+1``,
+    the transition_partials discipline), so a hole left by an earlier
+    turn-level filter never welds two distant turns into a fake pair.
+
+    Token counts use the pipeline's shared lower+space tokenizer
+    (conversation_stats) — exact integers, engine-portable.
+
+    Scale shape: ONE conv-partitioned lead() window pass (pairing
+    never leaves the conversation's partition); the conv_id exchange
+    is the only data-sized shuffle, and a corpus pre-bucketed by
+    conv_id (materialize discipline) skips even that."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.lead("turn_idx").over(w).alias("__nx_idx"),
+        F.lead("role").over(w).alias("__nx_role"),
+        F.lead("text").over(w).alias("__nx_text"),
+    )
+    ntok = lambda c: F.size(F.split(F.lower(c), " ")).cast("int")  # noqa: E731
+    pairs = t.where(
+        (F.col("role") == "user")
+        & (F.col("__nx_role") == "assistant")
+        & (F.col("__nx_idx") == F.col("turn_idx") + 1)
+    )
+    np_, nr = ntok(F.col("text")), ntok(F.col("__nx_text"))
+    return pairs.select(
+        "conv_id", "turn_idx",
+        F.col("text").alias("prompt"),
+        F.col("__nx_text").alias("response"),
+        np_.alias("n_prompt_tokens"),
+        nr.alias("n_response_tokens"),
+        F.when(
+            (F.col("text") != "") & (F.col("__nx_text") != "")
+            & (np_ >= min_prompt_tokens) & (nr >= min_response_tokens),
+            1).otherwise(0).cast("int").alias("ok"),
+    )
+
+
+def tool_chains(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_calls, n_distinct_tools, first_tool, last_tool,
+    chain) — per-conversation agent tool-usage mining: the ordered
+    sequence of tool invocations (turns with a non-empty ``tool``),
+    fingerprinted as a '>'-joined chain string.  The agent-behavior
+    profile a transcripts pipeline groups on: chain frequencies find
+    canonical workflows, singleton chains find exploration/failure
+    modes.  Conversations with zero tool calls emit nothing (they
+    have no chain to mine — count them from conversation_stats).
+
+    Scale shape: filter first (tool turns are a small fraction of
+    rows), then ONE conv-keyed `array_sort(collect_list(struct))` +
+    JVM HOFs — per-conversation state bounded by its own call count,
+    the role_protocol discipline."""
+    calls = transcripts.where(F.col("tool") != "").select(
+        "conv_id", F.struct("turn_idx", "tool").alias("t"))
+    arr = (calls.groupBy("conv_id")
+           .agg(F.array_sort(F.collect_list("t")).alias("ts_")))
+    tools = F.transform("ts_", lambda x: x["tool"])
+    return arr.select(
+        "conv_id",
+        F.size("ts_").cast("bigint").alias("n_calls"),
+        F.size(F.array_distinct(tools)).cast("bigint")
+        .alias("n_distinct_tools"),
+        F.element_at(tools, 1).alias("first_tool"),
+        F.element_at(tools, -1).alias("last_tool"),
+        F.array_join(tools, ">").alias("chain"),
+    )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """(tool_from, tool_to, n, n_convs) — the tool-to-tool transition
+    matrix over CONSECUTIVE tool invocations within one conversation
+    (consecutive in the tool-call subsequence: intervening non-tool
+    turns don't break the chain — turn_transitions already profiles
+    turn-adjacent dynamics).  The corpus-wide counterpart of
+    tool_chains: which tool follows which, and in how many distinct
+    conversations — the bigram model of agent behavior.
+
+    Scale shape: filter to tool turns, ONE conv-partitioned lag()
+    window on the subsequence, map-side-combinable groupBy on the
+    (tool_from, tool_to) key — the turn_transitions plan on a much
+    smaller input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.where(F.col("tool") != "").select(
+        "conv_id", "turn_idx", "tool")
+    paired = calls.select(
+        "conv_id",
+        F.lag("tool").over(w).alias("tool_from"),
+        F.col("tool").alias("tool_to"),
+    ).where(F.col("tool_from").isNotNull())
+    return paired.groupBy("tool_from", "tool_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+    )

@@ -356,3 +356,54 @@ def lpa_communities(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def linkpred_scores(edges: DataFrame,
+                    max_degree: int | None = None,
+                    min_common: int = 1) -> DataFrame:
+    """(u, v, n_common, deg_u, deg_v) — common-neighbor link
+    prediction over a canonical undirected edge set (u < v): every
+    NON-adjacent pair sharing ≥ ``min_common`` neighbors, with the
+    shared-neighbor count and both endpoint degrees.  The KG-completion
+    candidate generator: in a co-mention graph, entities with many
+    common neighbors but no edge are the pairs a curator (or a
+    downstream ranker) inspects first.  All-integer output — Jaccard
+    ``n_common/(deg_u+deg_v-n_common)`` and similar normalizations are
+    the reader's division, so the operator itself stays engine-exact.
+
+    Scale shape: wedges are enumerated through the MIDDLE node
+    (adjacency self-joined on the mid key), so the pair count is
+    Σ_mid (deg_mid choose 2) — linear in the true wedge output, never
+    |V|².  ``max_degree`` is the celebrity cap, same contract as
+    triangle_counts: a hub mid-node contributes quadratically many
+    wedges that measure its hubness, not pair affinity; with a cap,
+    mids of degree > ``max_degree`` are excluded from WEDGE
+    ENUMERATION (endpoints keep their full degrees — only the
+    through-the-hub evidence is dropped) and the result is the exact
+    common-neighbor count of the remaining wedge set.  The groupBy on
+    (u, v) is map-side combinable; the adjacency anti-join removes
+    already-linked pairs."""
+    e = edges.select("u", "v").distinct()
+    # symmetrized adjacency: (n, nbr) both directions
+    adj = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("nbr")))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    mids = adj
+    if max_degree is not None:
+        keep = deg.where(F.col("d") <= max_degree).select("n")
+        mids = adj.join(keep, "n", "semi")
+    a, b = mids.alias("a"), mids.alias("b")
+    common = (
+        a.join(b, "n")
+        .where(F.col("a.nbr") < F.col("b.nbr"))
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    unlinked = common.join(e, ["u", "v"], "anti")
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
+    return unlinked.join(du, "u").join(dv, "v").select(
+        "u", "v", "n_common", "deg_u", "deg_v")

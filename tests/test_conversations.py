@@ -121,3 +121,89 @@ def test_turn_transitions_pairs_by_turn_idx_not_arrival(spark):
     got = {(r["role_from"], r["role_to"]) for r in
            turn_transitions(t).collect()}
     assert got == {("user", "assistant"), ("assistant", "tool")}
+
+
+def test_sft_pairs_adjacency_and_gate(spark):
+    from rdf_n3_spark.operators.conversations import sft_pairs
+
+    t = _t(spark, [
+        # plain adjacent pair
+        ("c1", 0, "user", "what is two plus two", "", 0),
+        ("c1", 1, "assistant", "four", "", 1),
+        # assistant→user order: NOT a pair
+        ("c1", 2, "assistant", "anything else", "", 2),
+        ("c1", 3, "user", "no thanks", "", 3),
+        # idx hole between user and assistant: NOT a pair (a filter
+        # upstream removed turn 1 — welding 0→2 would fake adjacency)
+        ("hole", 0, "user", "question", "", 0),
+        ("hole", 2, "assistant", "answer", "", 2),
+        # empty response: pair emitted, gate ok=0
+        ("empty", 0, "user", "hi", "", 0),
+        ("empty", 1, "assistant", "", "", 1),
+    ])
+    got = {(r["conv_id"], r["turn_idx"]): r.asDict()
+           for r in sft_pairs(t).collect()}
+    assert set(got) == {("c1", 0), ("empty", 0)}
+    p = got[("c1", 0)]
+    assert p["prompt"] == "what is two plus two"
+    assert p["response"] == "four"
+    assert p["n_prompt_tokens"] == 5 and p["n_response_tokens"] == 1
+    assert p["ok"] == 1
+    assert got[("empty", 0)]["ok"] == 0
+
+
+def test_sft_pairs_token_floors(spark):
+    from rdf_n3_spark.operators.conversations import sft_pairs
+
+    t = _t(spark, [
+        ("c", 0, "user", "short", "", 0),
+        ("c", 1, "assistant", "one two three", "", 1),
+    ])
+    assert sft_pairs(t).collect()[0]["ok"] == 1
+    assert sft_pairs(t, min_response_tokens=4).collect()[0]["ok"] == 0
+    assert sft_pairs(t, min_prompt_tokens=2).collect()[0]["ok"] == 0
+
+
+def test_tool_chains_order_and_fingerprint(spark):
+    from rdf_n3_spark.operators.conversations import tool_chains
+
+    t = _t(spark, [
+        # tool calls interleaved with plain turns; insertion order shuffled
+        ("c1", 4, "tool", "r2", "search", 4),
+        ("c1", 0, "user", "q", "", 0),
+        ("c1", 2, "tool", "r1", "lookup", 2),
+        ("c1", 6, "tool", "r3", "lookup", 6),
+        ("c1", 7, "assistant", "done", "", 7),
+        # no tool calls at all: emits nothing
+        ("c2", 0, "user", "hi", "", 0),
+        ("c2", 1, "assistant", "hello", "", 1),
+    ])
+    rows = tool_chains(t).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["conv_id"] == "c1"
+    assert r["n_calls"] == 3 and r["n_distinct_tools"] == 2
+    assert r["first_tool"] == "lookup" and r["last_tool"] == "lookup"
+    assert r["chain"] == "lookup>search>lookup"
+
+
+def test_tool_transitions_skip_non_tool_turns(spark):
+    from rdf_n3_spark.operators.conversations import tool_transitions
+
+    t = _t(spark, [
+        # lookup → (assistant turn between) → search → search
+        ("c1", 0, "tool", "a", "lookup", 0),
+        ("c1", 1, "assistant", "x", "", 1),
+        ("c1", 2, "tool", "b", "search", 2),
+        ("c1", 3, "tool", "c", "search", 3),
+        # second conversation contributes another lookup→search
+        ("c2", 0, "tool", "a", "lookup", 0),
+        ("c2", 1, "tool", "b", "search", 1),
+    ])
+    got = {(r["tool_from"], r["tool_to"]): r.asDict()
+           for r in tool_transitions(t).collect()}
+    assert got[("lookup", "search")]["n"] == 2
+    assert got[("lookup", "search")]["n_convs"] == 2
+    assert got[("search", "search")]["n"] == 1
+    assert got[("search", "search")]["n_convs"] == 1
+    assert ("lookup", "lookup") not in got

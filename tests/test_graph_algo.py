@@ -355,3 +355,65 @@ def test_lpa_partitioning_independent(spark):
     a = sorted(map(tuple, lpa_communities(df.coalesce(1), rounds=2).collect()))
     b = sorted(map(tuple, lpa_communities(df.repartition(16), rounds=2).collect()))
     assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------------- link prediction
+
+def test_linkpred_path_graph(spark):
+    from rdf_n3_spark.operators.graph_algo import linkpred_scores
+
+    # path a-b-c-d: (a,c) share b, (b,d) share c; adjacent pairs and
+    # (a,d) (no common neighbor) must NOT appear
+    e = _tri_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {(r["u"], r["v"]): r.asDict()
+           for r in linkpred_scores(e).collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert got[("a", "c")]["n_common"] == 1
+    assert got[("a", "c")]["deg_u"] == 1 and got[("a", "c")]["deg_v"] == 2
+
+
+def test_linkpred_excludes_existing_edges(spark):
+    from rdf_n3_spark.operators.graph_algo import linkpred_scores
+
+    # triangle a-b-c plus pendant d on a: (b,c) share a but ARE linked
+    e = _tri_edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")])
+    got = {(r["u"], r["v"]) for r in linkpred_scores(e).collect()}
+    assert ("b", "c") not in got
+    # (b,d) and (c,d) share a and are unlinked
+    assert got == {("b", "d"), ("c", "d")}
+
+
+def test_linkpred_min_common_floor(spark):
+    from rdf_n3_spark.operators.graph_algo import linkpred_scores
+
+    # x,y share two mids (m1, m2) — and symmetrically m1,m2 share
+    # x,y; x,z share only m1, so the floor=2 drops (x,z) and (y,z)
+    e = _tri_edges(spark, [
+        ("m1", "x"), ("m1", "y"), ("m2", "x"), ("m2", "y"), ("m1", "z"),
+    ])
+    got = {(r["u"], r["v"]): r["n_common"]
+           for r in linkpred_scores(e, min_common=2).collect()}
+    assert got == {("x", "y"): 2, ("m1", "m2"): 2}
+
+
+def test_linkpred_degree_cap_drops_hub_evidence_only(spark):
+    from rdf_n3_spark.operators.graph_algo import linkpred_scores
+
+    # hub h connects x,y,z (degree 3); m connects x,y (degree 2).
+    # cap=2 removes h as a MID: (x,z)/(y,z) vanish and (x,y) keeps
+    # only the m-wedge — but h remains a scored ENDPOINT ((h,m)
+    # share x and y through degree-2 mids) and endpoint degrees
+    # stay full-graph.
+    e = _tri_edges(spark, [
+        ("h", "x"), ("h", "y"), ("h", "z"), ("m", "x"), ("m", "y"),
+    ])
+    full = {(r["u"], r["v"]): r["n_common"]
+            for r in linkpred_scores(e).collect()}
+    assert full[("x", "y")] == 2 and full[("x", "z")] == 1
+    capped = {(r["u"], r["v"]): r.asDict()
+              for r in linkpred_scores(e, max_degree=2).collect()}
+    assert set(capped) == {("x", "y"), ("h", "m")}
+    assert capped[("x", "y")]["n_common"] == 1
+    assert capped[("x", "y")]["deg_u"] == 2  # full-graph degree kept
+    assert capped[("h", "m")]["n_common"] == 2
+    assert capped[("h", "m")]["deg_u"] == 3  # hub degree reported
