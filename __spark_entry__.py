@@ -96,11 +96,13 @@ from rdf_n3_spark.operators.sketch import (
     token_heavy_hitters,
 )
 from rdf_n3_spark.operators.conversations import (
+    conv_dedup,
     conversation_stats,
     role_protocol,
     sft_pairs,
     tool_chains,
     tool_transitions,
+    turn_templates,
     turn_transitions,
 )
 from rdf_n3_spark.operators.mentions import extract_mentions
@@ -1559,6 +1561,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "conv_dedup", "turn_templates",
     "sft_pairs", "tool_chains", "tool_transitions", "graph_linkpred",
     "contrastive_incremental", "contrastive_pairs", "graph_lpa",
     "split_leakage",
@@ -1635,6 +1638,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": lambda s, d: tool_chains(transcripts(s, d)),
         "tool_transitions": lambda s, d: tool_transitions(
             transcripts(s, d)),
+        "conv_dedup": lambda s, d: conv_dedup(transcripts(s, d)),
+        # floor 2: the synthetic corpus's max exact-turn repeat is 3,
+        # so the default floor (5) would certify an empty result
+        "turn_templates": lambda s, d: turn_templates(
+            transcripts(s, d), min_count=2),
         "graph_linkpred": _q_linkpred,
         "mention_extract": _q_mentions,
         "triple_emit": _q_mention_triples,
@@ -2191,6 +2199,35 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE role = 'user' AND nx_role = 'assistant'
               AND nx_idx = turn_idx + 1
+        """,
+        # mirrors conversations.conv_dedup: md5 over the chr(31)-
+        # joined ordered role:text sequence, window-min keeper
+        "conv_dedup": f"""
+            WITH {_T},
+            fp AS (
+              SELECT conv_id,
+                     md5(string_agg(role || ':' || text, chr(31)
+                                    ORDER BY turn_idx)) AS fp
+              FROM transcripts GROUP BY conv_id
+            )
+            SELECT conv_id, fp,
+                   min(conv_id) OVER (PARTITION BY fp)
+                     AS keeper_conv_id,
+                   CAST(CASE WHEN conv_id =
+                             min(conv_id) OVER (PARTITION BY fp)
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM fp
+        """,
+        # mirrors conversations.turn_templates: one (role, text)
+        # aggregate with the repeat floor
+        "turn_templates": f"""
+            WITH {_T}
+            SELECT role, text,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM transcripts
+            GROUP BY role, text
+            HAVING count(*) >= 2
         """,
         # mirrors conversations.tool_chains: ordered tool-call
         # subsequence per conversation, '>'-joined fingerprint

@@ -327,3 +327,69 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
     )
+
+
+def conv_dedup(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, fp, keeper_conv_id, keep) — conversation-grain EXACT
+    dedup: two conversations are duplicates iff their full ordered
+    (role, text) turn sequences are identical.  The first curation
+    pass over a harvested transcripts corpus (re-ingested sessions,
+    mirrored logs, retry storms produce byte-identical dialogues);
+    near-dup at this grain is the document-side minhash family's job.
+    ``fp`` is the md5 of the chr(31)-joined "role:text" sequence in
+    turn_idx order (unit-separator: never appears in text, so joins
+    can't collide); the keeper is the smallest conv_id per
+    fingerprint (deterministic on any partitioning), ``keep = 1``
+    marks it.  Every conversation is emitted with its verdict — the
+    dedup_exact auditability contract.
+
+    Scale shape: one conv-keyed `array_sort(collect_list)` fold into
+    the fingerprint (per-conversation state only), then one window
+    min over the CONV-GRAIN fingerprint table (≪ turns).  Identical
+    conversations hash to one fp key; a viral duplicate makes that
+    key hot ONLY in the tiny fp table, never in the turn-sized
+    exchange."""
+    from pyspark.sql import Window
+
+    fp = (
+        transcripts
+        .select("conv_id",
+                F.struct("turn_idx",
+                         F.concat_ws(":", "role", "text").alias("rt"))
+                .alias("t"))
+        .groupBy("conv_id")
+        .agg(F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list("t")),
+                        lambda x: x["rt"]),
+            "\x1f")).alias("fp"))
+    )
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "conv_id", "fp",
+        F.min("conv_id").over(w).alias("keeper_conv_id"),
+        F.when(F.col("conv_id") == F.min("conv_id").over(w), 1)
+        .otherwise(0).cast("int").alias("keep"),
+    )
+
+
+def turn_templates(transcripts: DataFrame,
+                   min_count: int = 5) -> DataFrame:
+    """(role, text, n, n_convs) — turn-grain template detection: exact
+    turn texts repeated ≥ ``min_count`` times corpus-wide, with how
+    many distinct conversations they appear in.  The transcripts twin
+    of document boilerplate mining: canned assistant responses, retry
+    prompts, and injected system strings repeat verbatim across
+    conversations, and a training-data pipeline either down-weights
+    or strips them (high n with n_convs ≈ n means corpus-wide
+    boilerplate; n_convs ≪ n means one conversation looping).
+
+    Scale shape: ONE map-side-combinable groupBy on (role, text) —
+    a template key is hot by definition, and partial aggregation
+    collapses it to one partial per partition; the floor keeps the
+    output template-sized."""
+    return (
+        transcripts.groupBy("role", "text")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.countDistinct("conv_id").cast("bigint").alias("n_convs"))
+        .where(F.col("n") >= min_count)
+    )

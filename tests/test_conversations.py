@@ -207,3 +207,81 @@ def test_tool_transitions_skip_non_tool_turns(spark):
     assert got[("search", "search")]["n"] == 1
     assert got[("search", "search")]["n_convs"] == 1
     assert ("lookup", "lookup") not in got
+
+
+def test_conv_dedup_identical_sequences_collapse(spark):
+    from rdf_n3_spark.operators.conversations import conv_dedup
+
+    t = _t(spark, [
+        # c1 and c3 are byte-identical dialogues; c2 differs in text
+        ("c1", 0, "user", "hi", "", 0),
+        ("c1", 1, "assistant", "hello", "", 1),
+        ("c3", 0, "user", "hi", "", 50),
+        ("c3", 1, "assistant", "hello", "", 51),
+        ("c2", 0, "user", "hi", "", 10),
+        ("c2", 1, "assistant", "goodbye", "", 11),
+    ])
+    got = {r["conv_id"]: r.asDict() for r in conv_dedup(t).collect()}
+    assert got["c1"]["fp"] == got["c3"]["fp"] != got["c2"]["fp"]
+    assert got["c1"]["keep"] == 1 and got["c3"]["keep"] == 0
+    assert got["c3"]["keeper_conv_id"] == "c1"
+    assert got["c2"]["keep"] == 1
+
+
+def test_conv_dedup_role_and_order_matter(spark):
+    from rdf_n3_spark.operators.conversations import conv_dedup
+
+    t = _t(spark, [
+        # same texts, roles swapped
+        ("a", 0, "user", "x", "", 0),
+        ("a", 1, "assistant", "y", "", 1),
+        ("b", 0, "assistant", "x", "", 0),
+        ("b", 1, "user", "y", "", 1),
+        # same (role, text) multiset, different turn order
+        ("c", 0, "user", "y", "", 0),
+        ("c", 1, "assistant", "x", "", 1),
+    ])
+    fps = {r["conv_id"]: r["fp"] for r in conv_dedup(t).collect()}
+    assert len(set(fps.values())) == 3
+
+
+def test_conv_dedup_partitioning_independent(spark):
+    from rdf_n3_spark.operators.conversations import conv_dedup
+
+    t = _t(spark, [
+        ("c%d" % (i // 3), i % 3, "user", "t%d" % (i % 3), "", i)
+        for i in range(30)
+    ])
+    a = sorted(map(tuple, conv_dedup(t.coalesce(1)).collect()))
+    b = sorted(map(tuple, conv_dedup(t.repartition(16)).collect()))
+    assert a == b and len(a) == 10
+    # all 10 conversations are identical: one keeper
+    assert sum(r[3] for r in a) == 1
+
+
+def test_turn_templates_floor_and_conv_spread(spark):
+    from rdf_n3_spark.operators.conversations import turn_templates
+
+    t = _t(spark, [
+        # "ok" appears 5x across 2 convs; "rare" twice; "once" once
+        ("c1", 0, "assistant", "ok", "", 0),
+        ("c1", 1, "assistant", "ok", "", 1),
+        ("c1", 2, "assistant", "ok", "", 2),
+        ("c2", 0, "assistant", "ok", "", 0),
+        ("c2", 1, "assistant", "ok", "", 1),
+        ("c1", 3, "user", "rare", "", 3),
+        ("c2", 2, "user", "rare", "", 2),
+        ("c2", 3, "user", "once", "", 3),
+        # same text under a different role is a different template
+        ("c2", 4, "user", "ok", "", 4),
+    ])
+    got = {(r["role"], r["text"]): r.asDict()
+           for r in turn_templates(t, min_count=2).collect()}
+    assert set(got) == {("assistant", "ok"), ("user", "rare")}
+    assert got[("assistant", "ok")]["n"] == 5
+    assert got[("assistant", "ok")]["n_convs"] == 2
+    assert got[("user", "rare")]["n"] == 2
+    # default floor drops everything below 5
+    defaults = {(r["role"], r["text"])
+                for r in turn_templates(t).collect()}
+    assert defaults == {("assistant", "ok")}
