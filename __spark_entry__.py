@@ -2200,13 +2200,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE role = 'user' AND nx_role = 'assistant'
               AND nx_idx = turn_idx + 1
         """,
-        # mirrors conversations.conv_dedup: md5 over the chr(31)-
-        # joined ordered role:text sequence, window-min keeper
+        # mirrors conversations.conv_dedup: hash-of-hashes — md5 over
+        # the ordered fixed-width per-turn md5("role:text") sequence
         "conv_dedup": f"""
             WITH {_T},
             fp AS (
               SELECT conv_id,
-                     md5(string_agg(role || ':' || text, chr(31)
+                     md5(string_agg(md5(role || ':' || text), ''
                                     ORDER BY turn_idx)) AS fp
               FROM transcripts GROUP BY conv_id
             )

@@ -208,7 +208,9 @@ def main() -> None:
     # conversation-grain profile over the REPLICATED corpus (scales
     # with the headline) and the funnel evidence row
     from rdf_n3_spark.operators.conversations import (
+        conv_dedup,
         conversation_stats,
+        sft_pairs,
         turn_transitions,
     )
     from rdf_n3_spark.operators.events import funnel_reach
@@ -216,6 +218,12 @@ def main() -> None:
     conv = sink(conversation_stats(transcripts_df).drop(
         "first_ts", "last_ts"))
     trans = sink(turn_transitions(transcripts_df))
+    # round-5 transcripts-grain additions, both over the REPLICATED
+    # corpus (they must scale with the headline): the SFT pair
+    # constructor (one lead window) and the conversation-grain exact
+    # dedup (collect_list fold + conv-grain window)
+    sft = sink(sft_pairs(transcripts_df))
+    cdedup = sink(conv_dedup(transcripts_df))
     funnel = sink(funnel_reach(
         ev_tbl, ["view", "click", "signup", "purchase"]))
 
@@ -300,6 +308,18 @@ def main() -> None:
 
     leak = sink(split_leakage(docs_tbl))
 
+    # link-prediction evidence row (mult-independent like the other
+    # graph rows), at the SAME weight ≥ 3 curation noise floor as the
+    # triangle row: the unfiltered sf0.1 hub graph's wedge set through
+    # even capped mids costs ~130 s — an input-density fact (incidental
+    # co-occurrence edges), not a plan defect
+    from rdf_n3_spark.operators.graph_algo import linkpred_scores
+
+    linkpred_edges = (khop_edges.where(F.col("weight") >= 3)
+                      .localCheckpoint())
+    linkpred = sink(linkpred_scores(linkpred_edges, max_degree=400,
+                                    min_common=16))
+
     def timed_khop() -> tuple[float, float]:
         # khop_neighbors checkpoints per hop eagerly (like PageRank),
         # so each timed run must re-invoke the operator itself
@@ -377,6 +397,9 @@ def main() -> None:
         "event_outliers": lambda: timed_runs(outliers, runs, stat),
         "graph_lpa": timed_lpa,
         "split_leakage": lambda: timed_runs(leak, runs, stat),
+        "sft_pairs": lambda: timed_runs(sft, runs, stat),
+        "conv_dedup": lambda: timed_runs(cdedup, runs, stat),
+        "graph_linkpred": lambda: timed_runs(linkpred, runs, stat),
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)

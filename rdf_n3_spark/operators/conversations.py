@@ -336,32 +336,37 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
     pass over a harvested transcripts corpus (re-ingested sessions,
     mirrored logs, retry storms produce byte-identical dialogues);
     near-dup at this grain is the document-side minhash family's job.
-    ``fp`` is the md5 of the chr(31)-joined "role:text" sequence in
-    turn_idx order (unit-separator: never appears in text, so joins
-    can't collide); the keeper is the smallest conv_id per
-    fingerprint (deterministic on any partitioning), ``keep = 1``
-    marks it.  Every conversation is emitted with its verdict — the
-    dedup_exact auditability contract.
+    ``fp`` is a hash-of-hashes: each turn is collapsed to
+    md5("role:text") BEFORE the conversation exchange, and the
+    conversation fingerprint is the md5 of those fixed-width per-turn
+    hashes concatenated in turn_idx order (fixed width ⇒ no join-
+    separator collisions by construction).  The keeper is the
+    smallest conv_id per fingerprint (deterministic on any
+    partitioning), ``keep = 1`` marks it.  Every conversation is
+    emitted with its verdict — the dedup_exact auditability contract.
 
-    Scale shape: one conv-keyed `array_sort(collect_list)` fold into
-    the fingerprint (per-conversation state only), then one window
-    min over the CONV-GRAIN fingerprint table (≪ turns).  Identical
-    conversations hash to one fp key; a viral duplicate makes that
-    key hot ONLY in the tiny fp table, never in the turn-sized
-    exchange."""
+    Scale shape: the per-turn hash is a narrow map BEFORE the shuffle,
+    so the conv-keyed exchange carries 32 hex chars per turn instead
+    of the turn text (the dominant byte volume at corpus scale); then
+    one `array_sort(collect_list)` fold (per-conversation state only)
+    and one window min over the CONV-GRAIN fingerprint table
+    (≪ turns).  Identical conversations hash to one fp key; a viral
+    duplicate makes that key hot ONLY in the tiny fp table, never in
+    the turn-sized exchange."""
     from pyspark.sql import Window
 
     fp = (
         transcripts
         .select("conv_id",
                 F.struct("turn_idx",
-                         F.concat_ws(":", "role", "text").alias("rt"))
+                         F.md5(F.concat_ws(":", "role", "text"))
+                         .alias("h"))
                 .alias("t"))
         .groupBy("conv_id")
         .agg(F.md5(F.array_join(
             F.transform(F.array_sort(F.collect_list("t")),
-                        lambda x: x["rt"]),
-            "\x1f")).alias("fp"))
+                        lambda x: x["h"]),
+            "")).alias("fp"))
     )
     w = Window.partitionBy("fp")
     return fp.select(
