@@ -45,6 +45,7 @@ from rdf_n3_spark.operators.curation import (
     chunk_documents,
     corpus_split,
     curate_corpus,
+    corpus_datasheet,
     decontaminate,
     pack_sequences,
     paragraph_dedup,
@@ -105,7 +106,10 @@ from rdf_n3_spark.operators.conversations import (
     turn_templates,
     turn_transitions,
 )
-from rdf_n3_spark.operators.mentions import extract_mentions
+from rdf_n3_spark.operators.mentions import (
+    extract_mentions,
+    mention_contexts,
+)
 from rdf_n3_spark.operators.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -1561,6 +1565,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "mention_contexts", "corpus_datasheet",
     "conv_dedup", "turn_templates",
     "sft_pairs", "tool_chains", "tool_transitions", "graph_linkpred",
     "contrastive_incremental", "contrastive_pairs", "graph_lpa",
@@ -1638,6 +1643,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": lambda s, d: tool_chains(transcripts(s, d)),
         "tool_transitions": lambda s, d: tool_transitions(
             transcripts(s, d)),
+        "mention_contexts": lambda s, d: mention_contexts(
+            transcripts(s, d)),
+        "corpus_datasheet": lambda s, d: corpus_datasheet(_docs(s, d)),
         "conv_dedup": lambda s, d: conv_dedup(transcripts(s, d)),
         # floor 2: the synthetic corpus's max exact-turn repeat is 3,
         # so the default floor (5) would certify an empty result
@@ -2309,6 +2317,46 @@ def oracle_sql() -> dict[str, str]:
         "mention_extract": f"""
             {_MENTIONS}
             SELECT conv_id, turn_idx, pos, surface, norm FROM mentions
+        """,
+        # mirrors mentions.mention_contexts: the zipped unnest keeps
+        # the token list in-row, contexts are 1-based list slices
+        # ([pos+1-w .. pos] and [pos+2 .. pos+1+w], w=3) so no join
+        # back to the turn text
+        "mention_contexts": f"""
+            WITH {_T},
+            toks AS (
+              SELECT conv_id, turn_idx,
+                     string_split(text, ' ') AS tk,
+                     unnest(generate_series(1,
+                         len(string_split(text, ' ')))) - 1 AS pos,
+                     unnest(string_split(text, ' ')) AS surface
+              FROM transcripts
+            )
+            SELECT conv_id, turn_idx, CAST(pos AS INT) AS pos, surface,
+                   lower(surface) AS norm,
+                   array_to_string(
+                     tk[greatest(pos + 1 - 3, 1) : pos], ' ')
+                     AS left_ctx,
+                   array_to_string(tk[pos + 2 : pos + 4], ' ')
+                     AS right_ctx
+            FROM toks
+            WHERE regexp_matches(surface, '^(?i)(part|supp)_[a-z0-9]+$')
+        """,
+        # mirrors curation.corpus_datasheet: one (source, lang)
+        # aggregate, all exact integers, dup rate via distinct md5
+        "corpus_datasheet": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT)
+                     AS n_unique_texts,
+                   CAST(sum(CASE WHEN length(text) < 200
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(string_split(lower(text), ' ')))
+                        AS BIGINT) AS total_tokens,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars
+            FROM documents
+            GROUP BY source, lang
         """,
         "triple_emit": f"""
             {_MENTIONS},

@@ -501,3 +501,33 @@ def split_leakage(documents: DataFrame, threshold: float = 0.8,
         .select(F.col("a").alias("doc_a"), "split_a",
                 F.col("b").alias("doc_b"), "split_b")
     )
+
+
+def corpus_datasheet(documents: DataFrame,
+                     short_chars: int = 200) -> DataFrame:
+    """(source, lang, n_docs, n_unique_texts, n_short, total_chars,
+    total_tokens, max_chars) — the per-(source, lang) data card a
+    corpus release ships with: volume (docs/chars/tokens), the
+    exact-duplicate rate (``n_docs - n_unique_texts`` duplicated
+    texts — countDistinct over the md5, never the text bytes), and
+    the short-document share (``n_short`` below ``short_chars``).
+    Every column is an exact integer; rates and averages are the
+    reader's division.
+
+    Scale shape: ONE aggregate on the tiny (source, lang) key —
+    counts/sums are map-side combinable, and the distinct-count's
+    internal expand carries 32-hex md5s, not document bytes.  Hot
+    keys (one source dominating the corpus) collapse to one partial
+    per partition for every column except the distinct, whose
+    fixed-width hash keeps the exchange narrow."""
+    ntok = F.size(F.split(F.lower("text"), " "))
+    return documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint")
+        .alias("n_unique_texts"),
+        F.sum(F.when(F.length("text") < short_chars, 1).otherwise(0))
+        .cast("bigint").alias("n_short"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.max(F.length("text")).cast("bigint").alias("max_chars"),
+    )

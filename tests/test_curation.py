@@ -461,3 +461,26 @@ def test_split_leakage_silent_on_dedup_corpus(spark):
     rows = [(i, " ".join(f"tok{i}x{j}" for j in range(25))) for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert split_leakage(docs).count() == 0
+
+
+def test_corpus_datasheet_known_values(spark):
+    from rdf_n3_spark.operators.curation import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web"),
+         (2, "alpha beta", "en", "web"),      # exact dup of 1
+         (3, "gamma", "en", "web"),           # short, unique
+         (4, "x " * 150, "en", "books"),      # 300 chars: not short
+         (5, "solo", "fr", "web")],
+        "doc_id bigint, text string, lang string, source string")
+    got = {(r["source"], r["lang"]): r.asDict()
+           for r in corpus_datasheet(docs, short_chars=20).collect()}
+    web_en = got[("web", "en")]
+    assert web_en["n_docs"] == 3
+    assert web_en["n_unique_texts"] == 2      # the dup collapses
+    assert web_en["n_short"] == 3             # all under 20 chars
+    assert web_en["total_chars"] == 10 + 10 + 5
+    assert web_en["total_tokens"] == 2 + 2 + 1
+    assert web_en["max_chars"] == 10
+    assert got[("books", "en")]["n_short"] == 0
+    assert ("web", "fr") in got and got[("web", "fr")]["n_docs"] == 1

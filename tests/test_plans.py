@@ -198,3 +198,48 @@ def test_paragraph_and_hash_embed_duplicate_tests_combine_mapside(spark):
         assert "CartesianProduct" not in plan
         for node in PY_EVAL_NODES:
             assert node not in plan, node
+
+
+def test_mention_contexts_window_edges(spark):
+    """mention_contexts: contexts truncate at turn boundaries, never
+    cross turns, and the mention token itself is in neither side."""
+    import datetime
+
+    from rdf_n3_spark.operators.mentions import mention_contexts
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "part_a starts here and supp_b sits mid",
+          "", datetime.datetime(2026, 1, 1)),
+         ("c", 1, "user", "tail token part_c", "",
+          datetime.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = {r["surface"]: r.asDict()
+           for r in mention_contexts(t, window=3).collect()}
+    assert set(got) == {"part_a", "supp_b", "part_c"}
+    # turn start: empty left, 3-token right
+    assert got["part_a"]["left_ctx"] == ""
+    assert got["part_a"]["right_ctx"] == "starts here and"
+    # mid-turn: both sides, clamped to 3 tokens
+    assert got["supp_b"]["left_ctx"] == "starts here and"
+    assert got["supp_b"]["right_ctx"] == "sits mid"
+    # turn end: truncated right, left stays inside the turn
+    assert got["part_c"]["left_ctx"] == "tail token"
+    assert got["part_c"]["right_ctx"] == ""
+    assert got["part_c"]["pos"] == 2
+
+
+def test_mention_contexts_agrees_with_extract_mentions(spark):
+    """The context variant must detect exactly the same mentions
+    (same keys, surfaces, norms) as the plain extractor."""
+    from rdf_n3_spark.operators.mentions import (
+        extract_mentions,
+        mention_contexts,
+    )
+    from rdf_n3_spark.sources.transcripts import transcripts
+
+    t = transcripts(spark, "/root/testdata/sf0.001")
+    base = sorted(map(tuple, extract_mentions(t).collect()))
+    ctx = sorted(map(tuple, mention_contexts(t).select(
+        "conv_id", "turn_idx", "pos", "surface", "norm").collect()))
+    assert base == ctx and len(base) > 0
