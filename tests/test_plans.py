@@ -243,3 +243,26 @@ def test_mention_contexts_agrees_with_extract_mentions(spark):
     ctx = sorted(map(tuple, mention_contexts(t).select(
         "conv_id", "turn_idx", "pos", "surface", "norm").collect()))
     assert base == ctx and len(base) > 0
+
+
+def test_mention_contexts_is_pure_map(spark):
+    """mention_contexts is a zero-shuffle narrow map like
+    extract_mentions: no Exchange, no join back to the turn text, no
+    Python eval — contexts are in-row slices of the exploded array.
+    Audited on a transcripts-SHAPED frame (the sandbox lineitem→
+    transcripts derivation repartitions by order key, which would
+    charge the scaffolding's exchange to the operator)."""
+    import datetime
+
+    from rdf_n3_spark.operators.mentions import mention_contexts
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "part_1 here", "",
+          datetime.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    plan = _plan(mention_contexts(t))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan, node
