@@ -15,10 +15,11 @@ Cluster submission (north rule: "runs via spark-submit --py-files"):
         --repartition  4096
 
 The job body is the library pipeline: read transcripts → explicit
-repartition by conv_id (north rule) → mention extraction → skolemized
-triple emission ∪ entity aggregate (∪ mined relations with
---relations) → graph materialization with per-partition lineage rows +
-metric counters. Re-running with the same --batch-id is a no-op
+repartition by conv_id (north rule) → optional conversation-grain
+exact dedup gate (--dedup-input, keep-map published for audit) →
+mention extraction → skolemized triple emission ∪ entity aggregate
+(∪ mined relations with --relations) → graph materialization with
+per-partition lineage rows + metric counters. Re-running with the same --batch-id is a no-op
 (checkpointed resume, lineage-gated); a crashed run re-does only its
 own uncommitted files.  --profile writes the KB statistics (VoID +
 characteristic sets) over the COMMITTED store with a coverage
@@ -80,6 +81,14 @@ def main(argv=None) -> int:
                     "artifact downstream caches consume instead of "
                     "re-reading the full graph (triples.kb_diff; '+' = "
                     "new here, '-' = gone from the other build)")
+    ap.add_argument("--dedup-input", action="store_true",
+                    help="collapse byte-identical conversations BEFORE "
+                    "extraction (conversations.conv_dedup: ordered "
+                    "role:text hash-of-hashes fingerprint, smallest "
+                    "conv_id kept) and publish the keep-map under "
+                    "graph-root/curation/batch=<id>/conv_dedup for "
+                    "audit; re-ingested sessions and retry storms "
+                    "otherwise multiply every downstream count")
     ap.add_argument("--relations", action="store_true",
                     help="also mine pattern-based relation triples from the "
                     "transcripts in one in-array pass "
@@ -107,6 +116,25 @@ def main(argv=None) -> int:
     if args.repartition:
         t = t.repartition(args.repartition, "conv_id")
 
+    # Stage 0 (optional): conversation-grain exact dedup as an input
+    # gate.  The keep-map is conv-grain (≪ turns) and is published
+    # wholesale per batch (pure function of this input → overwrite-
+    # idempotent); the corpus filter is a conv_id semi-join against
+    # the keepers, which AQE broadcasts at sane dup rates.  The flag
+    # participates in the staged-mentions fingerprint below — a
+    # deduped and a raw run of the same batch-id must not share
+    # staged mentions.
+    if args.dedup_input:
+        from rdf_n3_spark.operators.conversations import conv_dedup
+
+        keep_map = conv_dedup(t)
+        km_path = os.path.join(args.graph_root, "curation",
+                               f"batch={args.batch_id}", "conv_dedup")
+        keep_map.write.mode("overwrite").parquet(km_path)
+        keepers = (spark.read.parquet(km_path)
+                   .where("keep = 1").select("conv_id"))
+        t = t.join(keepers, "conv_id", "semi")
+
     # Stage 1: materialize mentions once. The triple union below has
     # TWO consumers of the mention stream (skolemized triples + entity
     # aggregate); Spark does not share common subtrees across union
@@ -131,6 +159,7 @@ def main(argv=None) -> int:
 
     input_fp = hashlib.md5("|".join([
         args.transcripts or args.sf_dir,
+        "dedup" if args.dedup_input else "raw",
         t.schema.simpleString(),
         hashlib.md5(inspect.getsource(mentions_mod).encode()).hexdigest(),
     ]).encode()).hexdigest()[:12]

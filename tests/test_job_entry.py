@@ -234,3 +234,68 @@ def test_job_diff_against_stage(tmp_path, spark):
                    delta.where(F.col("change") == "-").collect()}
     assert got_removed == {tuple(r) for r in
                            a.distinct().subtract(b.distinct()).collect()}
+
+
+def test_job_dedup_input_stage(tmp_path, spark):
+    """--dedup-input: a transcripts table with byte-identical
+    conversations materializes the SAME graph as the pre-deduped
+    input, publishes the conv-grain keep-map for audit, and stages
+    mentions under a fingerprint distinct from a raw run."""
+    import subprocess
+
+    from rdf_n3_spark.sources.transcripts import transcripts
+
+    # input = sf0.001 transcripts ∪ an exact copy under new conv_ids
+    t = transcripts(spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+
+    dup = t.select(
+        F.concat(F.lit("copy_"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts")
+    both = tmp_path / "with_dups"
+    t.unionByName(dup).write.parquet(str(both))
+    clean = tmp_path / "clean"
+    t.write.parquet(str(clean))
+
+    def run(src, root, batch, *flags):
+        out = subprocess.run(
+            [sys.executable, "jobs/kg_construct.py",
+             "--transcripts", str(src),
+             "--graph-root", str(root),
+             "--batch-id", batch, "--repartition", "8", *flags],
+            capture_output=True, text=True, timeout=420, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    root_d = tmp_path / "graph_dedup"
+    m = run(both, root_d, "b0", "--dedup-input")
+    root_c = tmp_path / "graph_clean"
+    run(clean, root_c, "b0")
+
+    from rdf_n3_spark.operators.materialize import read_store
+
+    got = sorted(map(tuple,
+                     read_store(spark, str(root_d)).collect()))
+    want = sorted(map(tuple,
+                      read_store(spark, str(root_c)).collect()))
+    # skolemized subjects derive from (conv_id, turn_idx, pos) — the
+    # copies' conv_ids differ, so compare the dedup CLAIM instead:
+    # same row count and same (p, o) multiset means each copy
+    # contributed nothing
+    assert len(got) == len(want)
+    assert sorted((p, o) for _, p, o in got) \
+        == sorted((p, o) for _, p, o in want)
+    # keep-map published, one keeper per fingerprint pair
+    km = spark.read.parquet(
+        str(root_d / "curation" / "batch=b0" / "conv_dedup"))
+    rows = km.collect()
+    assert sum(r["keep"] for r in rows) * 2 == len(rows)
+    # raw run of the same input under the same batch-id stages
+    # mentions under a DIFFERENT fingerprint (no silent sharing)
+    root_mix = tmp_path / "graph_mix"
+    run(both, root_mix, "b0", "--dedup-input")
+    run(both, root_mix, "b1")
+    fps = set()
+    for b in ("batch=b0", "batch=b1"):
+        fps |= set(os.listdir(root_mix / "mentions" / b))
+    assert len(fps) == 2
