@@ -145,3 +145,42 @@ def stream_split_leakage(stream: DataFrame, corpus: DataFrame,
         return within.unionByName(cross)
 
     return epoch_overwrite_sink(stream, out_dir, checkpoint_dir, leaks)
+
+
+def stream_conv_dedup(stream: DataFrame, corpus_fps: DataFrame,
+                      out_dir: str, checkpoint_dir: str):
+    """Continuous CONVERSATION-grain exact dedup gate — the
+    transcripts-native member of the ingest-gate family: each
+    micro-batch of CLOSED conversations (every turn of a conversation
+    lands in one batch — the session-log ingest contract; a session
+    ships when it ends) is fingerprinted by the batch operator
+    (:func:`rdf_n3_spark.operators.conversations.conv_dedup`), deduped
+    WITHIN the batch (smallest conv_id wins) and AGAINST the persisted
+    corpus fingerprint set, and the surviving conversations' TURNS
+    land per-epoch under the shared
+    :func:`rdf_n3_spark.streaming.sink.epoch_overwrite_sink`
+    exactly-once contract.
+
+    ``corpus_fps`` is a static snapshot with an ``fp`` column (e.g.
+    yesterday's committed keep-map), refreshed between runs exactly
+    like the near-dup gates' LSH indexes; copies arriving in two
+    different runs of the SAME snapshot may both pass — the standard
+    gate contract, with batch conv_dedup as the end-of-day sweep.
+
+    Scale: per micro-batch work is batch-sized (one conv-keyed fold)
+    plus one fp anti-join against the index — fingerprints are 32-hex
+    strings at CONVERSATION grain, the minimum state any exact gate
+    must remember."""
+    from rdf_n3_spark.operators.conversations import conv_dedup
+    from rdf_n3_spark.streaming.sink import epoch_overwrite_sink
+
+    def kept(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        verdict = conv_dedup(batch_df)
+        fresh = (
+            verdict.where(F.col("keep") == 1)
+            .join(corpus_fps.select("fp"), "fp", "anti")
+            .select("conv_id")
+        )
+        return batch_df.join(fresh, "conv_id", "semi")
+
+    return epoch_overwrite_sink(stream, out_dir, checkpoint_dir, kept)

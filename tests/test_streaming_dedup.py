@@ -166,3 +166,40 @@ def test_stream_split_leakage_within_and_cross(spark, tmp_path):
     batch_within = {(r.doc_a, r.split_a, r.doc_b, r.split_b)
                     for r in split_leakage(spark.read.parquet(src)).collect()}
     assert batch_within == {(1, "val", 3, "train"), (2, "train", 17, "val")}
+
+
+def test_stream_conv_dedup_gate(spark, tmp_path):
+    """Conversation-grain gate: within-batch copies collapse to the
+    smallest conv_id, conversations already in the corpus fingerprint
+    snapshot are dropped, unique conversations pass whole (all turns)."""
+    from rdf_n3_spark.operators.conversations import conv_dedup
+    from rdf_n3_spark.streaming.dedup import stream_conv_dedup
+
+    def conv(cid, texts):
+        return [(cid, i, "user" if i % 2 == 0 else "assistant", x, "",
+                 ts(i)) for i, x in enumerate(texts)]
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    # corpus already holds the fingerprint of ("hi", "hello")
+    seen = spark.createDataFrame(conv("old", ["hi", "hello"]), schema)
+    corpus_fps = conv_dedup(seen).select("fp")
+
+    batch = (conv("n1", ["hi", "hello"])        # dup of corpus → drop
+             + conv("n2", ["fresh", "dialog"])  # unique → keep
+             + conv("n3", ["fresh", "dialog"])  # in-batch copy → drop
+             + conv("n4", ["another", "one"]))  # unique → keep
+    src = str(tmp_path / "turns")
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_conv_dedup(stream, corpus_fps, out,
+                          str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(out)
+    assert {r["conv_id"] for r in kept.select("conv_id").collect()} \
+        == {"n2", "n4"}
+    # survivors pass WHOLE: both turns of each kept conversation
+    assert kept.count() == 4
