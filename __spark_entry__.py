@@ -1210,6 +1210,40 @@ def _q_relation_triples(spark, sf_dir):
     return relation_triples(transcripts(spark, sf_dir))
 
 
+def _q_pred_signatures(spark, sf_dir):
+    """Domain/range signature induction per predicate (the VoID
+    class-partition analog): subject/object namespace + term-kind
+    distribution with exact distinct counts — schema induction plus
+    the range-violation audit input."""
+    from rdf_n3_spark.operators.kb_stats import predicate_signatures
+
+    return predicate_signatures(_kb(spark, sf_dir))
+
+
+def _q_conv_segments(spark, sf_dir):
+    """Lexical topic segmentation of every conversation: a turn opens
+    a new segment when its token-set overlap with the previous turn
+    drops below 20% (exact rational test, no floats)."""
+    from rdf_n3_spark.operators.conversations import conv_segments
+
+    return conv_segments(transcripts(spark, sf_dir))
+
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic hash-seeded random-walk corpus (DeepWalk prep)
+    over the entity co-mention graph: 2 walks × 3 steps per node,
+    each hop the md5-arg-min neighbor — reproducible on any cluster
+    size, which is what makes it oracle-checkable."""
+    from rdf_n3_spark.operators.graph_algo import (
+        cooccurrence_edges,
+        random_walks,
+    )
+
+    m = extract_mentions(transcripts(spark, sf_dir))
+    edges = cooccurrence_edges(m, group="conv_id", node="norm")
+    return random_walks(edges, walks_per_node=2, length=3)
+
+
 def _q_kb_char_sets(spark, sf_dir):
     """Characteristic-set profile of the KB (Neumann & Moerkotte
     ICDE'11): one row per distinct per-subject predicate set."""
@@ -1565,6 +1599,7 @@ _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
 
 _ROUND_NEW = [
     # round-5 additions enter here, newest first
+    "graph_walks", "kb_signatures", "conv_segments",
     "mention_contexts", "corpus_datasheet",
     "conv_dedup", "turn_templates",
     "sft_pairs", "tool_chains", "tool_transitions", "graph_linkpred",
@@ -1647,6 +1682,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             transcripts(s, d)),
         "corpus_datasheet": lambda s, d: corpus_datasheet(_docs(s, d)),
         "conv_dedup": lambda s, d: conv_dedup(transcripts(s, d)),
+        "conv_segments": _q_conv_segments,
+        "kb_signatures": _q_pred_signatures,
+        "graph_walks": _q_random_walks,
         # floor 2: the synthetic corpus's max exact-turn repeat is 3,
         # so the default floor (5) would certify an empty result
         "turn_templates": lambda s, d: turn_templates(
@@ -2084,6 +2122,46 @@ _KMV_SQL = """
 """
 
 
+def _walks_oracle(walks_per_node: int = 2, length: int = 3) -> str:
+    """Mirror of graph_algo.random_walks over the co-mention graph:
+    the L steps unroll to L chained arg-min joins (min_by over the
+    same md5(start|walk_id|step|dst) draw), sym = the UNION-deduped
+    symmetrization of the canonical u<v edge set."""
+    steps, prev = [], "s0"
+    for i in range(1, int(length) + 1):
+        steps.append(f"""
+            s{i} AS (
+              SELECT {prev}.start, {prev}.walk_id, {i} AS step,
+                     min_by(sym.dst,
+                            md5({prev}.start || '|'
+                                || CAST({prev}.walk_id AS VARCHAR)
+                                || '|{i}|' || sym.dst)) AS node
+              FROM {prev} JOIN sym ON {prev}.node = sym.src
+              GROUP BY {prev}.start, {prev}.walk_id)""")
+        prev = f"s{i}"
+    union = "\n              UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(int(length) + 1))
+    return f"""
+            {_MENTIONS},
+            mn AS (SELECT DISTINCT conv_id AS g, norm AS n FROM mentions),
+            eg AS (SELECT a.n AS u, b.n AS v
+                   FROM mn a JOIN mn b ON a.g = b.g AND a.n < b.n
+                   GROUP BY a.n, b.n),
+            sym AS (SELECT u AS src, v AS dst FROM eg
+                    UNION
+                    SELECT v AS src, u AS dst FROM eg),
+            w0 AS (SELECT DISTINCT src AS start FROM sym),
+            s0 AS (SELECT start,
+                          unnest(generate_series(0, {int(walks_per_node) - 1}))
+                            AS walk_id,
+                          0 AS step, start AS node
+                   FROM w0),{",".join(steps)}
+            SELECT start, CAST(walk_id AS INT) AS walk_id,
+                   CAST(step AS INT) AS step, node
+            FROM ({union})
+        """
+
+
 def _triangles_oracle(cap: int | None = None) -> str:
     """Mirror of graph_algo.triangle_counts: degree-ordered orientation
     → wedge join → closure, corners exploded.  ``cap`` mirrors the
@@ -2226,6 +2304,50 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM fp
         """,
+        # mirrors conversations.conv_segments: identical lag pairing,
+        # set sizes via the inclusion-exclusion identity on distinct
+        # token lists (|A∩B| = |A|+|B|−|A∪B|), same rational boundary
+        # test, running-sum segment index
+        "conv_segments": f"""
+            WITH {_T},
+            tk AS (
+              SELECT conv_id, turn_idx,
+                     list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM transcripts
+            ),
+            seq AS (
+              SELECT conv_id, turn_idx, toks, lag(toks) OVER w AS prev
+              FROM tk
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            sc AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN prev IS NULL THEN 0
+                     ELSE len(toks) + len(prev)
+                          - len(list_distinct(list_concat(toks, prev)))
+                END AS n_shared,
+                CASE WHEN prev IS NULL THEN 0
+                     ELSE len(list_distinct(list_concat(toks, prev)))
+                END AS n_union,
+                CASE WHEN prev IS NULL THEN 1
+                     WHEN (len(toks) + len(prev)
+                           - len(list_distinct(list_concat(toks, prev))))
+                          * 100
+                          < 20 * len(list_distinct(list_concat(toks, prev)))
+                       THEN 1 ELSE 0 END AS boundary
+              FROM seq
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(n_shared AS INT) AS n_shared,
+                   CAST(n_union AS INT) AS n_union,
+                   CAST(boundary AS INT) AS boundary,
+                   CAST(sum(boundary) OVER
+                          (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS seg_idx
+            FROM sc
+        """,
+        # mirrors graph_algo.random_walks (unrolled md5-arg-min hops)
+        "graph_walks": _walks_oracle(walks_per_node=2, length=3),
         # mirrors conversations.turn_templates: one (role, text)
         # aggregate with the repeat floor
         "turn_templates": f"""
@@ -2422,6 +2544,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
                    CAST(count(DISTINCT o) AS BIGINT) AS n_objects
             FROM triples GROUP BY p
+        """,
+        # mirrors kb_stats.predicate_signatures: the same regex term
+        # classification (pname prefix / default-ns / int / str), one
+        # aggregate over the tiny signature key space
+        "kb_signatures": f"""
+            {_TRIPLES},
+            cls AS (
+              SELECT p, s, o,
+                CASE WHEN regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                       THEN regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+                     WHEN s LIKE ':%' THEN '(default)'
+                     ELSE '(lit)' END AS subj_ns,
+                CASE WHEN regexp_matches(o, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                       OR o LIKE ':%' THEN 'iri'
+                     WHEN regexp_matches(o, '^-?[0-9]+$') THEN 'int'
+                     ELSE 'str' END AS obj_kind,
+                CASE WHEN regexp_matches(o, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                       THEN regexp_extract(o, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+                     WHEN o LIKE ':%' THEN '(default)'
+                     ELSE '(lit)' END AS obj_ns
+              FROM triples
+            )
+            SELECT p, subj_ns, obj_kind, obj_ns,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+                   CAST(count(DISTINCT o) AS BIGINT) AS n_objects
+            FROM cls GROUP BY p, subj_ns, obj_kind, obj_ns
         """,
         # deliberately NOT a replay of the Spark plan: the Spark side
         # answers the star from the characteristic-set profile, the

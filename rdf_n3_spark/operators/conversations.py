@@ -398,3 +398,58 @@ def turn_templates(transcripts: DataFrame,
              F.countDistinct("conv_id").cast("bigint").alias("n_convs"))
         .where(F.col("n") >= min_count)
     )
+
+
+def conv_segments(transcripts: DataFrame,
+                  threshold_pct: int = 20) -> DataFrame:
+    """(conv_id, turn_idx, n_shared, n_union, boundary, seg_idx) —
+    lexical topic segmentation: a turn opens a new segment when its
+    token-set Jaccard overlap with the PREVIOUS turn falls below
+    ``threshold_pct``/100 (TextTiling's adjacent-window test at the
+    turn grain).  Long multi-topic conversations are the norm in agent
+    transcripts, and training pipelines chunk them at topic shifts
+    rather than mid-thought — ``seg_idx`` is the chunk key a packer
+    groups on.
+
+    Exactness contract: the overlap test is kept RATIONAL —
+    ``n_shared * 100 < threshold_pct * n_union`` on exact set sizes
+    (shared lower+space tokenizer, per-turn distinct) — so there is no
+    float in the operator and the DuckDB mirror agrees bit-for-bit.
+
+    Scale shape: one conv_id exchange funds BOTH windows (the lag
+    pairing and the running boundary sum); the token sets are in-row
+    array ops, fully codegen'd — no join, no second shuffle, and the
+    conv_id partitioning is the same one every downstream
+    per-conversation stage reuses.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    d = (
+        transcripts.select("conv_id", "turn_idx", toks.alias("toks"))
+        .withColumn("prev", F.lag("toks").over(w))
+        .withColumn(
+            "n_shared",
+            F.when(F.col("prev").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("toks", "prev")))
+            .cast("int"))
+        .withColumn(
+            "n_union",
+            F.when(F.col("prev").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_union("toks", "prev")))
+            .cast("int"))
+        .withColumn(
+            "boundary",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("n_shared") * 100
+                   < F.lit(int(threshold_pct)) * F.col("n_union")),
+                1).otherwise(0).cast("int"))
+    )
+    seg = (F.sum("boundary")
+           .over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    return d.select(
+        "conv_id", "turn_idx", "n_shared", "n_union", "boundary",
+        seg.cast("int").alias("seg_idx"),
+    )

@@ -407,3 +407,63 @@ def linkpred_scores(edges: DataFrame,
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
     return unlinked.join(du, "u").join(dv, "v").select(
         "u", "v", "n_common", "deg_u", "deg_v")
+
+
+def random_walks(edges: DataFrame, walks_per_node: int = 2,
+                 length: int = 3) -> DataFrame:
+    """(start, walk_id, step, node) — DeepWalk/node2vec-style walk
+    corpus over the undirected (u, v) edge set: ``walks_per_node``
+    walks of up to ``length`` steps from every node, the sentence
+    stream a KG-embedding trainer consumes.
+
+    Determinism contract (the reason this is oracle-checkable at all):
+    there is NO RNG.  Each step moves to the neighbor minimizing
+    ``md5(start|walk_id|step|dst)`` — a keyed hash playing the role of
+    the random draw, as in any reproducible-sampling pipeline here
+    (salted.py's bucket hashing, sampling.py's hash gates).  Same
+    input ⇒ same walks on every cluster size, every retry, both
+    engines.  Walks hitting a sink node simply end (shorter walk, no
+    padding row).
+
+    Scale shape: the symmetrized neighbor table pays ONE edge-sized
+    exchange (repartition("src") funds the distinct AND every step's
+    join, same single-exchange setup as pagerank) and is checkpointed
+    loop-invariant; each step then exchanges only walk-sized frontier
+    rows, and the per-step arg-min collapses the frontier×degree join
+    output map-side (min_by partials) before it ever shuffles — the
+    frontier exchange is |nodes|·walks_per_node rows regardless of
+    degree.  Walk hops are hash-keyed, so a hub's huge in-neighborhood
+    spreads over the src partitioning instead of concentrating.
+    """
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("src").distinct().localCheckpoint()
+    )
+    f0 = (
+        sym.select(F.col("src").alias("start")).distinct()
+        .select(
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1)))
+            .alias("walk_id"))
+        .select("start", "walk_id", F.lit(0).alias("step"),
+                F.col("start").alias("node"))
+    )
+    steps, cur = [f0], f0
+    for i in range(1, int(length) + 1):
+        cur = (
+            cur.join(sym, cur["node"] == sym["src"])
+            .groupBy("start", "walk_id")
+            .agg(F.min_by(
+                "dst",
+                F.md5(F.concat_ws("|", "start", "walk_id", F.lit(i), "dst")))
+                .alias("node"))
+            .select("start", "walk_id", F.lit(i).alias("step"), "node")
+        )
+        steps.append(cur)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select("start", F.col("walk_id").cast("int").alias("walk_id"),
+                      F.col("step").cast("int").alias("step"), "node")

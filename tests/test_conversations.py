@@ -285,3 +285,57 @@ def test_turn_templates_floor_and_conv_spread(spark):
     defaults = {(r["role"], r["text"])
                 for r in turn_templates(t).collect()}
     assert defaults == {("assistant", "ok")}
+
+
+def test_conv_segments_boundaries_and_running_index(spark):
+    from rdf_n3_spark.operators.conversations import conv_segments
+
+    t = _t(spark, [
+        # turn 1 shares 2/4 of its union with turn 0 (50% ≥ 20%: same
+        # segment); turn 2 shares nothing (boundary); turn 3 repeats
+        # turn 2 verbatim (jaccard 1: same segment)
+        ("c1", 0, "user", "alpha beta gamma", "", 0),
+        ("c1", 1, "assistant", "alpha beta delta", "", 1),
+        ("c1", 2, "user", "totally different topic", "", 2),
+        ("c1", 3, "assistant", "totally different topic", "", 3),
+    ])
+    got = {r["turn_idx"]: r.asDict()
+           for r in conv_segments(t).collect()}
+    assert [got[i]["boundary"] for i in range(4)] == [1, 0, 1, 0]
+    assert [got[i]["seg_idx"] for i in range(4)] == [0, 0, 1, 1]
+    # exact rational sizes, not floats
+    assert (got[1]["n_shared"], got[1]["n_union"]) == (2, 4)
+    assert (got[3]["n_shared"], got[3]["n_union"]) == (3, 3)
+    # first turn carries the null-lag convention: (0, 0) + boundary
+    assert (got[0]["n_shared"], got[0]["n_union"]) == (0, 0)
+
+
+def test_conv_segments_duplicate_tokens_and_threshold_edge(spark):
+    from rdf_n3_spark.operators.conversations import conv_segments
+
+    t = _t(spark, [
+        # duplicate tokens inside a turn must count once (set algebra)
+        ("c1", 0, "user", "a a a b", "", 0),
+        ("c1", 1, "user", "b b c c c", "", 1),
+        # exactly AT the threshold (1/5 = 20%) is NOT a boundary —
+        # the test is strict-less-than
+        ("c2", 0, "user", "p q r", "", 0),
+        ("c2", 1, "user", "p s t", "", 1),
+    ])
+    got = {(r["conv_id"], r["turn_idx"]): r.asDict()
+           for r in conv_segments(t, threshold_pct=20).collect()}
+    assert (got[("c1", 1)]["n_shared"], got[("c1", 1)]["n_union"]) == (1, 3)
+    assert got[("c2", 1)]["n_shared"] * 100 == 20 * got[("c2", 1)]["n_union"]
+    assert got[("c2", 1)]["boundary"] == 0
+
+
+def test_conv_segments_single_exchange_plan(spark):
+    """Both windows and the token set algebra ride ONE conv_id
+    exchange — no join, no second shuffle."""
+    from rdf_n3_spark.operators.conversations import conv_segments
+
+    t = _t(spark, [("c1", 0, "user", "a b", "", 0),
+                   ("c1", 1, "user", "b c", "", 1)])
+    plan = conv_segments(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

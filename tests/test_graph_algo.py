@@ -417,3 +417,69 @@ def test_linkpred_degree_cap_drops_hub_evidence_only(spark):
     assert capped[("x", "y")]["deg_u"] == 2  # full-graph degree kept
     assert capped[("h", "m")]["n_common"] == 2
     assert capped[("h", "m")]["deg_u"] == 3  # hub degree reported
+
+
+def _walk_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(u, v, 1) for u, v in pairs], "u string, v string, weight long")
+
+
+def test_random_walks_deterministic_and_well_formed(spark):
+    """Walks are pure functions of the input: same edges ⇒ identical
+    row set, every step-i node is a real neighbor of the step-(i-1)
+    node, step 0 is the start node."""
+    from rdf_n3_spark.operators.graph_algo import random_walks
+
+    e = _walk_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                            ("c", "d")])
+    w1 = random_walks(e, walks_per_node=2, length=3)
+    rows = {(r["start"], r["walk_id"], r["step"]): r["node"]
+            for r in w1.collect()}
+    rows2 = {(r["start"], r["walk_id"], r["step"]): r["node"]
+             for r in random_walks(e, walks_per_node=2, length=3).collect()}
+    assert rows == rows2
+    nbrs = {}
+    for u, v in [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for (start, wid, step), node in rows.items():
+        if step == 0:
+            assert node == start
+        else:
+            assert node in nbrs[rows[(start, wid, step - 1)]]
+    # every node starts walks_per_node walks
+    starts = {(s, w) for (s, w, st) in rows if st == 0}
+    assert starts == {(n, w) for n in "abcd" for w in (0, 1)}
+
+
+def test_random_walks_end_at_sinks_and_diverge_by_walk_id(spark):
+    from rdf_n3_spark.operators.graph_algo import random_walks
+    from pyspark.sql import functions as F
+
+    # a path graph's interior keeps walking; with >1 neighbor the
+    # hash draw must (on SOME node/step) pick differently for the two
+    # walk ids — a constant choice would mean walk_id is ignored
+    e = _walk_edges(spark, [("a", "b"), ("b", "c"), ("b", "d"),
+                            ("c", "e"), ("d", "e")])
+    rows = {(r["start"], r["walk_id"], r["step"]): r["node"]
+            for r in random_walks(e, walks_per_node=2, length=4).collect()}
+    assert any(rows[(s, 0, st)] != rows.get((s, 1, st))
+               for (s, w, st) in rows if w == 0 and st > 0)
+    # walks never emit a step with no edge taken: a 1-degree sink
+    # bounces back (undirected symmetrization), so all 5 steps exist
+    assert all((s, w, st) in rows
+               for s in "abcde" for w in (0, 1) for st in range(5))
+
+
+def test_random_walks_partitioning_independent(spark):
+    """The hash draw is keyed on (start, walk_id, step, dst) only —
+    repartitioning the edge input must not change any walk."""
+    from rdf_n3_spark.operators.graph_algo import random_walks
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)
+             if f"n{i}" != f"n{(i * 7 + 3) % 20}"]
+    e1 = _walk_edges(spark, pairs)
+    e2 = e1.repartition(17)
+    r1 = sorted(map(tuple, random_walks(e1, 2, 3).collect()))
+    r2 = sorted(map(tuple, random_walks(e2, 2, 3).collect()))
+    assert r1 == r2
