@@ -224,6 +224,11 @@ def main() -> None:
     # dedup (collect_list fold + conv-grain window)
     sft = sink(sft_pairs(transcripts_df))
     cdedup = sink(conv_dedup(transcripts_df))
+    # topic segmentation over the REPLICATED corpus (one conv_id
+    # exchange + in-row set algebra — must track the headline)
+    from rdf_n3_spark.operators.conversations import conv_segments
+
+    segs = sink(conv_segments(transcripts_df))
     funnel = sink(funnel_reach(
         ev_tbl, ["view", "click", "signup", "purchase"]))
 
@@ -335,6 +340,11 @@ def main() -> None:
     rel = sink(relation_candidates(transcripts_df))
     cs = sink(characteristic_sets(
         mention_triples(m).unionByName(entity_triples(m))))
+    # predicate domain/range signatures over the same replicated KB
+    from rdf_n3_spark.operators.kb_stats import predicate_signatures
+
+    sigs = sink(predicate_signatures(
+        mention_triples(m).unionByName(entity_triples(m))))
     kmv = sink(kmv_distinct_tokens(docs_tbl))
     ann_mt = sink(ivf_topk_tables(embs_tbl).drop("cos"))
     bloom = sink(bloom_decontaminate(
@@ -360,6 +370,26 @@ def main() -> None:
         def run():
             t0 = time.perf_counter()
             sink(pagerank_quantized(edges, iterations=3)).collect()
+            return time.perf_counter() - t0
+        run()  # warm
+        times = [run() for _ in range(runs)]
+        agg = min if stat == "min" else statistics.median
+        return round(agg(times), 4), round(min(times), 4)
+
+    # random-walk corpus over the UNREPLICATED co-mention graph
+    # (mult-independent iterative evidence row, like pagerank/khop):
+    # the operator checkpoints its neighbor table eagerly, so each
+    # timed run re-invokes the whole function
+    from rdf_n3_spark.operators.graph_algo import random_walks
+
+    walk_edges = (cooccurrence_edges(m1, group="conv_id", node="norm")
+                  .localCheckpoint())
+
+    def timed_walks() -> tuple[float, float]:
+        def run():
+            t0 = time.perf_counter()
+            sink(random_walks(walk_edges, walks_per_node=2,
+                              length=3)).collect()
             return time.perf_counter() - t0
         run()  # warm
         times = [run() for _ in range(runs)]
@@ -400,6 +430,9 @@ def main() -> None:
         "sft_pairs": lambda: timed_runs(sft, runs, stat),
         "conv_dedup": lambda: timed_runs(cdedup, runs, stat),
         "graph_linkpred": lambda: timed_runs(linkpred, runs, stat),
+        "conv_segments": lambda: timed_runs(segs, runs, stat),
+        "kb_signatures": lambda: timed_runs(sigs, runs, stat),
+        "graph_walks": timed_walks,
     }
     subset = os.environ.get("BENCH_QUERIES", "")
     names = [n.strip() for n in subset.split(",") if n.strip()] or list(thunks)
